@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Test-only oracle jars (SURVEY.md §5.3): the prebuilt reference engine and
+// its OpenForecast dependency, used for differential/golden assertions. The
+// library itself never links against these.
+Test / unmanagedJars ++= Seq(
+  file("/root/reference/target/mvn-repo/nl/us2/timeseriesoutlierdetection/timeseriesoutlierdetection/0.1/timeseriesoutlierdetection-0.1.jar"),
+  file("/root/reference/lib/OpenForecast-0.5.0.jar"),
+)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

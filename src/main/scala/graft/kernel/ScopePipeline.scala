@@ -1,0 +1,110 @@
+package graft.kernel
+
+import graft.model.{EngineConfig, Flag, NormalizationMode}
+import scala.collection.immutable.ListMap
+
+/** Per-scope (per data-loader) pipeline — the kernel equivalent of the
+  * reference `AbstractDataLoader.processData/analyze/validate`
+  * (`AbstractDataLoader.java:123-381`). One scope = one bundle of named
+  * series (reference: one file / one loader). Pure; runs inside a Spark
+  * per-scope group at scale.
+  */
+object ScopePipeline {
+
+  /** Result of processing one scope's raw points. `resolution` is the final
+    * (possibly auto-rolled-up) step resolution.
+    */
+  final case class Processed(series: ListMap[String, KSeries], resolution: Long)
+
+  /** `processData` (`AbstractDataLoader.java:123-201`) over raw per-series
+    * points: parse-bucket-dedup(sum) → gap-fill → skip empty → alert policy →
+    * auto-rollup ladder → derive error_rate → auto log-normalize.
+    * Series map iteration order is pinned to insertion order (reference uses
+    * HashMap order, immaterial on the corpus — SURVEY §5.2-Q4/Q6).
+    */
+  def process(raw: Map[String, Iterable[Pt]], cfg: EngineConfig): Processed = {
+    var res = cfg.resolution
+    var series = ListMap.empty[String, KSeries]
+
+    // deterministic series order: "regular" first (it is the ladder decider —
+    // SURVEY §5.2-Q4), then lexicographic.
+    val names = raw.keys.toSeq.sortBy(n => (if (n == "regular") "" else n))
+    for (name <- names) {
+      val normalized =
+        if (cfg.normalization == NormalizationMode.None) raw(name)
+        else raw(name).map(p => Pt(p.ts, SeriesKernel.normalizeValue(cfg.normalization, p.v)))
+      val bucketed = SeriesKernel.bucketSum(normalized, res)
+      val filled = SeriesKernel.gapFill(bucketed, res, cfg.gapFill)
+      if (filled.nonEmpty) {
+        val ks0 = KSeries(name, filled, cfg.forecastPeriods)
+        // `AbstractDataLoader.java:185-187`: "error" alerts on over only
+        val ks = if (name == "error") ks0.withAlertPolicy(over = true, under = false) else ks0
+        series = series.updated(name, ks)
+      }
+    }
+
+    // auto-rollup ladder (`AbstractDataLoader.java:263-287`): decided by the
+    // first series, applied to all, repeated until no step fires.
+    if (cfg.autoRollup && series.nonEmpty) {
+      val decider = series.head._2.name
+      var continue = true
+      while (continue) {
+        val size = series(decider).data.length.toLong
+        val next = SeriesKernel.nextLadderResolution(size, res)
+        if (next == res) continue = false
+        else {
+          res = next
+          series = series.map { case (n, s) => n -> s.rollup(res) }
+        }
+      }
+    }
+
+    // derive error_rate (`AbstractDataLoader.java:233-261`)
+    if (cfg.deriveErrorRate && series.contains("regular") && series.contains("error")) {
+      val regular = series("regular")
+      val error = series("error")
+      val minAvgTh = 10.0
+      if (regular.stats.avg >= minAvgTh && error.stats.avg >= minAvgTh) {
+        val errMap = error.data.map(p => p.ts -> p.v).toMap
+        val ratePts = SeriesKernel.errorRate(regular.data, errMap)
+        val rate = KSeries("error_rate", ratePts, cfg.forecastPeriods)
+          .withAlertPolicy(over = true, under = false)
+        series = series.updated("error_rate", rate)
+      }
+    }
+
+    // auto log-normalize (`AbstractDataLoader.java:203-224`): only when the
+    // global mode is NONE; per series, if trainMax - trainMin >= 1000 rewrite
+    // every point with LOG.
+    if (cfg.autoNormalize && cfg.normalization == NormalizationMode.None) {
+      series = series.map { case (n, s) =>
+        if (s.stats.maxVal - s.stats.minVal >= 1000.0)
+          n -> s.withData(s.data.map(p => Pt(p.ts, SeriesKernel.normalizeValue(NormalizationMode.Log, p.v))))
+        else n -> s
+      }
+    }
+
+    Processed(series, res)
+  }
+
+  /** V3 scoring (`AbstractDataLoader.validate`,
+    * `AbstractDataLoader.java:295-381`): per ts,
+    * score = Σ_outliers (outlierScore + magnitude) − Σ_inliers inlierScore;
+    * emit every ts with score ≥ minScore. Contributions are summed in a
+    * canonical (analyzer, metric) order (SURVEY §5.2-Q6) for stable doubles.
+    */
+  def score(flags: Seq[Flag], minScore: Double): Map[Long, Double] = {
+    val byTs = flags.groupBy(_.ts)
+    byTs.flatMap { case (ts, fs) =>
+      var s = 0.0
+      // reference order: all outlier contributions first, then inliers
+      // (`AbstractDataLoader.java:301-309`); within each, canonical order.
+      for (f <- fs.sortBy(f => (!f.isOutlier, f.analyzer, f.metric))) {
+        if (f.isOutlier)
+          s += f.outlierScore + SeriesKernel.outlierMagnitude(f.value, f.lb, f.rb, f.outlierScore)
+        else s -= f.inlierScore
+      }
+      if (s >= minScore) Some(ts -> s) else None
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.kernel
+
+import graft.model.Flag
+import nl.us2.timeseriesoutlierdetection.{
+  AbstractDataLoader,
+  FileDataLoader,
+  ITimeserieAnalyzer,
+  Timeseries,
+  TimeserieOutlier
+}
+import scala.jdk.CollectionConverters._
+
+/** Test-time bridge to the prebuilt reference jar (SURVEY.md §5.3): loads a
+  * fixture through the real `FileDataLoader`, exposes its processed series and
+  * per-analyzer flags for differential comparison against the kernel.
+  */
+object OracleHarness {
+
+  val fixtureDir = "/root/reference/src/main/resources/testdata"
+
+  def fixtureNames: Seq[String] = {
+    val d = new java.io.File(fixtureDir)
+    d.listFiles().filter(f => f.isFile && f.getName.endsWith(".tsv")).map(_.getName).sorted.toSeq
+  }
+
+  final case class OracleRun(loader: AbstractDataLoader, series: Map[String, Timeseries], resolution: Long)
+
+  /** Run the reference load() pipeline on one fixture. */
+  def load(fixture: String): OracleRun = {
+    val dl = new FileDataLoader(s"$fixtureDir/$fixture")
+    dl.load()
+    val f = classOf[AbstractDataLoader].getDeclaredField("timeseries")
+    f.setAccessible(true)
+    val m = f.get(dl).asInstanceOf[java.util.HashMap[String, Timeseries]].asScala.toMap
+    val rf = classOf[AbstractDataLoader].getDeclaredField("targetTsStepResolution")
+    rf.setAccessible(true)
+    OracleRun(dl, m, rf.getLong(dl))
+  }
+
+  /** Run one reference analyzer and normalize its result to kernel Flags. */
+  def analyze(run: OracleRun, analyzer: ITimeserieAnalyzer, analyzerName: String, scope: String): Seq[Flag] = {
+    val jmap = new java.util.HashMap[String, Timeseries]()
+    run.series.foreach { case (k, v) => jmap.put(k, v) }
+    val res = analyzer.analyze(run.loader.asInstanceOf[AbstractDataLoader], jmap)
+    def conv(o: TimeserieOutlier, isOutlier: Boolean): Flag =
+      Flag(scope, o.getSerieName, analyzerName, o.getTs, o.getVal, o.getExpectedVal,
+        o.getLeftBound, o.getRightBound, isOutlier, 3.0, 1.0)
+    res.getOutliers.asScala.map(conv(_, isOutlier = true)).toSeq ++
+      res.getInliers.asScala.map(conv(_, isOutlier = false)).toSeq
+  }
+
+  /** Expected-error timestamps from the .errors sidecar, re-bucketed to the
+    * fixture's final resolution the same way the reference does
+    * (`AbstractDataLoader.java:402-410`).
+    */
+  def expectedErrors(run: OracleRun): Seq[Long] = {
+    val f = classOf[AbstractDataLoader].getDeclaredField("expectedErrors")
+    f.setAccessible(true)
+    f.get(run.loader).asInstanceOf[java.util.List[java.lang.Long]].asScala.map(_.longValue()).toSeq
+  }
+
+  /** Parse a fixture TSV the way `FileDataLoader.loadRawData` does
+    * (`FileDataLoader.java:67-120`): trim, skip blanks, split on \s+, header
+    * maps ts / regular / startsWith("error").
+    */
+  def parseTsv(fixture: String): Map[String, Seq[Pt]] = {
+    val lines = scala.io.Source.fromFile(s"$fixtureDir/$fixture").getLines().toSeq
+    var colTs = -1
+    var colRegular = -1
+    var colError = -1
+    var regular = Vector.empty[Pt]
+    var error = Vector.empty[Pt]
+    var i = 0L
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.nonEmpty) {
+        val cols = line.split("\\s+")
+        if (i == 0L) {
+          cols.zipWithIndex.foreach { case (c, idx) =>
+            if (c == "ts") colTs = idx
+            else if (c == "regular") colRegular = idx
+            else if (c.startsWith("error")) colError = idx
+          }
+        } else {
+          val ts = cols(colTs).toLong
+          if (colRegular != -1) regular :+= Pt(ts, cols(colRegular).toDouble)
+          if (colError != -1) error :+= Pt(ts, cols(colError).toDouble)
+        }
+        i += 1
+      }
+    }
+    Map("regular" -> regular, "error" -> error).filter(_._2.nonEmpty)
+  }
+
+  /** Fixture settings sidecar (e.g. {"rollup":300}). */
+  def settings(fixture: String): Map[String, String] = {
+    val f = new java.io.File(s"$fixtureDir/$fixture.settings")
+    if (!f.isFile) Map.empty
+    else {
+      // flat {"k":v} JSON — values numeric or string
+      val s = scala.io.Source.fromFile(f).mkString.trim.stripPrefix("{").stripSuffix("}")
+      s.split(",").filter(_.contains(":")).map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+    }
+  }
+}
