@@ -23,12 +23,19 @@ class KernelVsReferenceSpec extends AnyFunSuite {
     (LogNormalDistributionAnalyzer, () => new LogNormalDistributionTimeserieAnalyzer()),
     (SimpleRegressionAnalyzer, () => new SimpleRegressionTimeserieAnalyzer()),
     (RandomWalkRegressionAnalyzer, () => new RandomWalkRegressionTimeserieAnalyzer()),
-    (TimeBucketSimpleRegressionAnalyzer, () => new TimeBucketSimpleRegressionTimeserieAnalyzer())
+    (TimeBucketSimpleRegressionAnalyzer, () => new TimeBucketSimpleRegressionTimeserieAnalyzer()),
+    (MovingAverageAnalyzer, () => new MovingAverageTimeserieAnalyzer()),
+    (SimpleExponentialSmoothingAnalyzer, () => new SimpleExponentialSmoothingTimeserieAnalyzer()),
+    (PolynomialRegressionAnalyzer, () => new PolynomialRegressionTimeserieAnalyzer()),
+    (MultipleLinearRegressionAnalyzer, () => new MultipleLinearRegressionTimeserieAnalyzer())
   )
 
-  private def canon(fs: Seq[Flag]): Seq[(String, Long, Boolean, Double, Double, Double, Double)] =
-    fs.map(f => (f.metric, f.ts, f.isOutlier, f.value, f.expected, f.lb, f.rb))
+  // doubles compared via bits so NaN == NaN (exact-parity contract)
+  private def canon(fs: Seq[Flag]): Seq[(String, Long, Boolean, Long, Long, Long, Long)] = {
+    def b(d: Double) = java.lang.Double.doubleToLongBits(d)
+    fs.map(f => (f.metric, f.ts, f.isOutlier, b(f.value), b(f.expected), b(f.lb), b(f.rb)))
       .sortBy(t => (t._1, t._2, t._3.toString, t._4))
+  }
 
   for (fixture <- OracleHarness.fixtureNames) {
     test(s"processed series parity: $fixture") {
