@@ -27,7 +27,8 @@ class KernelVsReferenceSpec extends AnyFunSuite {
     (MovingAverageAnalyzer, () => new MovingAverageTimeserieAnalyzer()),
     (SimpleExponentialSmoothingAnalyzer, () => new SimpleExponentialSmoothingTimeserieAnalyzer()),
     (PolynomialRegressionAnalyzer, () => new PolynomialRegressionTimeserieAnalyzer()),
-    (MultipleLinearRegressionAnalyzer, () => new MultipleLinearRegressionTimeserieAnalyzer())
+    (MultipleLinearRegressionAnalyzer, () => new MultipleLinearRegressionTimeserieAnalyzer()),
+    (IntervalInterceptorAnalyzer, () => new IntervalInterceptorTimeserieAnalyzer())
   )
 
   // doubles compared via bits so NaN == NaN (exact-parity contract)
