@@ -1,13 +1,411 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Ann
+import graft.model.EngineConfig
+import graft.pipeline.{ColumnAnalyzers, Derive, SeriesOps}
+import graft.spark.Detect
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per operator (SURVEY.md §2 + the
+  * training-data ops), with ANSI-SQL oracles for everything SQL-expressible
+  * (DuckDB runs them on the same parquet). Column names and explicit
+  * rounding match between the Spark plan and the SQL so the driver's
+  * column-sorted value hash compares equal. Non-SQL-expressible operators
+  * (sequential analyzers, Spark-hash-based sketches) get rows-only checks
+  * and are covered bit-exactly by the ScalaTest differential suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events → long series points (scope = event_type, metric = "value") */
+  private def eventPoints(s: SparkSession, dir: String, res: Long): DataFrame =
+    SeriesOps.bucketSum(
+      events(s, dir).select(
+        col("event_type").as("scope"),
+        lit("value").as("metric"),
+        unix_timestamp(col("ts")).as("bucket"),
+        col("value")
+      ),
+      res
+    )
+
+  /** events → daily count-per-type series (well-behaved for band analyzers) */
+  private def countPoints(s: SparkSession, dir: String, res: Long): DataFrame =
+    events(s, dir)
+      .groupBy(
+        col("event_type").as("scope"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % res).as("bucket")
+      )
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col("scope"), lit("count").as("metric"), col("bucket"), col("value"))
+
+  private def duckCountPoints(res: Long) =
+    s"SELECT event_type AS scope, ${duckBucket(res)} AS bucket, CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2"
+
+  /** events → regular/error count series per user-group scope (for O7) */
+  private def userPoints(s: SparkSession, dir: String, res: Long): DataFrame =
+    events(s, dir)
+      .groupBy(
+        concat(lit("u"), pmod(col("user_id"), lit(5))).as("scope"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % res).as("bucket")
+      )
+      .agg(
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).cast("double").as("regular"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).cast("double").as("error")
+      )
+      .select(
+        col("scope"),
+        col("bucket"),
+        expr("stack(2, 'regular', regular, 'error', error) as (metric, value)")
+      )
+
+  // ---- DuckDB SQL fragments -------------------------------------------------
+
+  private val duckBucket60 =
+    "(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 60)"
+  private def duckBucket(res: Long) =
+    s"(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % $res)"
+
+  private val duckEventPoints60 =
+    s"SELECT event_type AS scope, $duckBucket60 AS bucket, sum(value) AS value FROM events GROUP BY 1, 2"
+  private def duckEventPoints(res: Long) =
+    s"SELECT event_type AS scope, ${duckBucket(res)} AS bucket, sum(value) AS value FROM events GROUP BY 1, 2"
+
+  /** split+stats CTE over daily count points (mirrors SeriesOps.withSplitAndStats) */
+  private val duckCountSplitStats =
+    s"""WITH pts AS (SELECT event_type AS scope, ${duckBucket(86400)} AS bucket, CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2),
+       |split AS (SELECT scope, bucket, value,
+       |  row_number() OVER (PARTITION BY scope ORDER BY bucket) AS rn,
+       |  count(*) OVER (PARTITION BY scope) AS n FROM pts),
+       |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+       |stats AS (SELECT scope, avg(value) AS train_avg, stddev_pop(value) AS train_stddev,
+       |  min(value) AS train_min, max(value) AS train_max, count(*) AS train_count
+       |  FROM tr WHERE rn <= train_n GROUP BY scope)""".stripMargin
+
+  /** split+stats CTE over hourly event points (mirrors SeriesOps.withSplitAndStats) */
+  private val duckSplitStats =
+    s"""WITH pts AS (${duckEventPoints(3600)}),
+       |split AS (SELECT scope, bucket, value,
+       |  row_number() OVER (PARTITION BY scope ORDER BY bucket) AS rn,
+       |  count(*) OVER (PARTITION BY scope) AS n FROM pts),
+       |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+       |stats AS (SELECT scope, avg(value) AS train_avg, stddev_pop(value) AS train_stddev,
+       |  min(value) AS train_min, max(value) AS train_max, count(*) AS train_count
+       |  FROM tr WHERE rn <= train_n GROUP BY scope)""".stripMargin
+
+  // ---- the queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1-O3: parse/cast + time bucketing + duplicate-bucket SUM merge
+    "q01_bucket_sum" -> ((s, dir) =>
+      eventPoints(s, dir, 60).select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+
+    // O6/north_rule tiers: raw→1h and raw→1d continuous aggregates
+    "q02_rollup_1h" -> ((s, dir) =>
+      SeriesOps
+        .bucketSum(eventPoints(s, dir, 60), 3600)
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+    "q03_rollup_1d" -> ((s, dir) =>
+      SeriesOps
+        .bucketSum(SeriesOps.bucketSum(eventPoints(s, dir, 60), 3600), 86400)
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+
+    // O5: interior zero gap-fill
+    "q04_gapfill_zero" -> ((s, dir) =>
+      SeriesOps
+        .gapFill(eventPoints(s, dir, 60), 60)
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+
+    // O9/O10: train/classify split + per-series train stats
+    "q05_train_stats" -> ((s, dir) =>
+      SeriesOps
+        .withSplitAndStats(eventPoints(s, dir, 3600), 10)
+        .select("scope", "train_avg", "train_stddev", "train_min", "train_max", "train_count")
+        .distinct()
+        .select(
+          col("scope"),
+          round(col("train_avg"), 4).as("train_avg"),
+          round(col("train_stddev"), 4).as("train_stddev"),
+          round(col("train_min"), 2).as("train_min"),
+          round(col("train_max"), 2).as("train_max"),
+          col("train_count")
+        )),
+
+    // A2 analog: stddev z-score band flags (scale path), daily count series
+    "q06_zscore_flags" -> ((s, dir) =>
+      ColumnAnalyzers
+        .zscoreFlags(SeriesOps.withSplitAndStats(countPoints(s, dir, 86400), 10))
+        .select(
+          col("scope"),
+          col("bucket"),
+          round(col("value"), 2).as("val"),
+          round(col("lb"), 4).as("lb"),
+          round(col("rb"), 4).as("rb"),
+          col("is_outlier")
+        )),
+
+    // A4 analog: per-series LS-regression fit via covar_pop/var_pop aggregates
+    "q07_ols_fit" -> ((s, dir) =>
+      SeriesOps
+        .withSplitAndStats(eventPoints(s, dir, 3600), 10)
+        .where(col("is_train"))
+        .groupBy("scope")
+        .agg(
+          (covar_pop(col("bucket").cast("double"), col("value")) /
+            var_pop(col("bucket").cast("double"))).as("slope"),
+          avg("value").as("ybar"),
+          avg(col("bucket").cast("double")).as("xbar"),
+          corr(col("bucket").cast("double"), col("value")).as("r")
+        )
+        .select(
+          col("scope"),
+          round(col("slope") * 1e9, 2).as("slope_e9"),
+          round(col("ybar") - col("slope") * col("xbar"), 2).as("intercept"),
+          round(lit(1.0) - col("r") * col("r"), 4).as("rel_mse")
+        )),
+
+    // IQR validator (north_star) — all classify rows with fences
+    "q08_iqr_flags" -> ((s, dir) =>
+      ColumnAnalyzers
+        .iqrFlags(SeriesOps.withSplitAndStats(countPoints(s, dir, 86400), 10))
+        .select(
+          col("scope"),
+          col("bucket"),
+          round(col("value"), 2).as("val"),
+          round(col("lb"), 4).as("lb"),
+          round(col("rb"), 4).as("rb"),
+          col("is_outlier")
+        )),
+
+    // O7: derived error_rate with the train-avg ≥ 10 gate
+    "q09_error_rate" -> ((s, dir) =>
+      SeriesOps
+        .deriveErrorRate(userPoints(s, dir, 86400), 10)
+        .select(col("scope"), col("bucket"), round(col("value"), 4).as("rate"))),
+
+    // O12: per-series deltas
+    "q10_deltas" -> ((s, dir) =>
+      SeriesOps
+        .deltas(eventPoints(s, dir, 3600))
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("delta"))),
+
+    // A5 analog: trailing moving average (full windows only)
+    "q11_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("scope")
+        .orderBy("bucket")
+        .rowsBetween(-10, -1)
+      eventPoints(s, dir, 3600)
+        .withColumn("ma", avg("value").over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .where(col("cnt") === 10)
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"), round(col("ma"), 4).as("ma"))
+    }),
+
+    // exact dedup (hash-groupBy)
+    "q12_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(documents(s, dir)).select("text_hash", "keep_id", "cnt")),
+
+    // token counting
+    "q13_token_count" -> ((s, dir) =>
+      TextOps
+        .withTokenCounts(documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("n_subwords"))),
+
+    // quality scoring
+    "q14_quality" -> ((s, dir) =>
+      TextOps
+        .withQuality(documents(s, dir))
+        .select("doc_id", "len", "punct_ratio", "digit_ratio", "stopword_count")),
+
+    // language id (stopword-profile heuristic)
+    "q15_lang_id" -> ((s, dir) =>
+      TextOps.withLangId(documents(s, dir)).select("doc_id", "lang_id")),
+
+    // n-gram Jaccard near-dup pairs (exact, inverted-index join)
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      TextOps
+        .ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // MinHash+LSH candidate pairs (Spark murmur3 banding — rows-only oracle)
+    "q17_minhash_lsh" -> ((s, dir) =>
+      TextOps.minHashCandidatePairs(TextOps.minHashSignatures(TextOps.shingles(documents(s, dir), 3), 32), 4)),
+
+    // SimHash 64-bit signatures (xxhash64 — rows-only oracle)
+    "q18_simhash" -> ((s, dir) => TextOps.simHash(documents(s, dir))),
+
+    // rolling-hash fingerprint (crc32 — rows-only oracle)
+    "q19_fingerprint" -> ((s, dir) =>
+      TextOps.withFingerprint(documents(s, dir)).select("doc_id", "fingerprint")),
+
+    // brute-force cosine top-k (correctness baseline for ANN)
+    "q20_ann_brute" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      Ann
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // LSH-bucketed ANN (scale path — rows-only oracle)
+    "q21_ann_lsh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // flagship: full 12-analyzer exact detection over event series
+    "q22_detect_validated" -> ((s, dir) => {
+      val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)
+      Detect
+        .detectValidated(points, EngineConfig(resolution = 3600))
+        .toDF()
+        .select(col("scope"), col("ts"), round(col("score"), 2).as("score"))
+    }),
+
+    // full 12-analyzer flags (inliers + outliers) — always non-empty
+    "q23_detect_flags" -> ((s, dir) => {
+      val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)
+      Detect
+        .detectFlags(points, EngineConfig(resolution = 3600))
+        .toDF()
+        .groupBy("scope", "metric", "analyzer")
+        .agg(
+          sum(when(col("isOutlier"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(!col("isOutlier"), 1L).otherwise(0L)).as("n_inliers")
+        )
+    })
+  )
+
+  /** Flagship on sf0.001 — driver smoke-checks rows > 0. Flags (inliers
+    * included) are guaranteed non-empty on any series with a classify tail.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q23_detect_flags")(spark, "/root/testdata/sf0.001")
+
+  // ---- oracles ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_bucket_sum" ->
+      s"SELECT event_type AS scope, $duckBucket60 AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
+    "q02_rollup_1h" ->
+      s"SELECT event_type AS scope, ${duckBucket(3600)} AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
+    "q03_rollup_1d" ->
+      s"SELECT event_type AS scope, ${duckBucket(86400)} AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
+    "q04_gapfill_zero" ->
+      s"""WITH b AS ($duckEventPoints60),
+         |r AS (SELECT scope, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+         |g AS (SELECT scope, unnest(generate_series(mn, mx, 60)) AS bucket FROM r)
+         |SELECT g.scope, g.bucket, round(coalesce(b.value, 0), 2) AS val
+         |FROM g LEFT JOIN b ON g.scope = b.scope AND g.bucket = b.bucket""".stripMargin,
+    "q05_train_stats" ->
+      s"""$duckSplitStats
+         |SELECT scope, round(train_avg, 4) AS train_avg, round(train_stddev, 4) AS train_stddev,
+         |  round(train_min, 2) AS train_min, round(train_max, 2) AS train_max, train_count
+         |FROM stats""".stripMargin,
+    "q06_zscore_flags" ->
+      s"""$duckCountSplitStats
+         |SELECT t.scope, t.bucket, round(t.value, 2) AS val,
+         |  round(s.train_avg - greatest(s.train_stddev, s.train_avg*0.05), 4) AS lb,
+         |  round(s.train_avg + greatest(s.train_stddev, s.train_avg*0.05), 4) AS rb,
+         |  (t.value < s.train_avg - greatest(s.train_stddev, s.train_avg*0.05)
+         |   OR t.value > s.train_avg + greatest(s.train_stddev, s.train_avg*0.05)) AS is_outlier
+         |FROM tr t JOIN stats s ON t.scope = s.scope
+         |WHERE t.rn > t.train_n AND s.train_stddev <= s.train_avg*0.25""".stripMargin,
+    "q07_ols_fit" ->
+      s"""$duckSplitStats
+         |SELECT scope,
+         |  round(covar_pop(bucket, value) / var_pop(bucket) * 1e9, 2) AS slope_e9,
+         |  round(avg(value) - covar_pop(bucket, value) / var_pop(bucket) * avg(bucket), 2) AS intercept,
+         |  round(1.0 - corr(bucket, value)*corr(bucket, value), 4) AS rel_mse
+         |FROM tr WHERE rn <= train_n GROUP BY scope""".stripMargin,
+    "q08_iqr_flags" ->
+      s"""$duckCountSplitStats,
+         |fences AS (SELECT scope, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+         |  FROM tr WHERE rn <= train_n GROUP BY scope)
+         |SELECT t.scope, t.bucket, round(t.value, 2) AS val,
+         |  round(f.q1 - (f.q3-f.q1)*1.5, 4) AS lb, round(f.q3 + (f.q3-f.q1)*1.5, 4) AS rb,
+         |  (t.value < f.q1 - (f.q3-f.q1)*1.5 OR t.value > f.q3 + (f.q3-f.q1)*1.5) AS is_outlier
+         |FROM tr t JOIN fences f ON t.scope = f.scope
+         |WHERE t.rn > t.train_n""".stripMargin,
+    "q09_error_rate" ->
+      s"""WITH pts AS (
+         |  SELECT 'u' || CAST(user_id % 5 AS VARCHAR) AS scope, ${duckBucket(86400)} AS bucket,
+         |    CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS regular,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error
+         |  FROM events GROUP BY 1, 2),
+         |long AS (SELECT scope, bucket, 'regular' AS metric, regular AS value FROM pts
+         |  UNION ALL SELECT scope, bucket, 'error', error FROM pts),
+         |split AS (SELECT scope, metric, bucket, value,
+         |  row_number() OVER (PARTITION BY scope, metric ORDER BY bucket) AS rn,
+         |  count(*) OVER (PARTITION BY scope, metric) AS n FROM long),
+         |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+         |avgs AS (SELECT scope, metric, avg(value) AS a FROM tr WHERE rn <= train_n GROUP BY 1, 2),
+         |gate AS (SELECT scope FROM avgs GROUP BY scope
+         |  HAVING min(CASE WHEN metric='regular' THEN a END) >= 10
+         |     AND min(CASE WHEN metric='error' THEN a END) >= 10)
+         |SELECT p.scope, p.bucket,
+         |  round(CASE WHEN p.regular > 0 AND p.error > 0 THEN p.error/p.regular
+         |             WHEN p.error > 0 THEN 1.0 ELSE 0.0 END, 4) AS rate
+         |FROM pts p JOIN gate g ON p.scope = g.scope""".stripMargin,
+    "q10_deltas" ->
+      s"""WITH pts AS (${duckEventPoints(3600)}),
+         |d AS (SELECT scope, bucket, value - lag(value) OVER (PARTITION BY scope ORDER BY bucket) AS delta FROM pts)
+         |SELECT scope, bucket, round(delta, 2) AS delta FROM d WHERE delta IS NOT NULL""".stripMargin,
+    "q11_moving_avg" ->
+      s"""WITH pts AS (${duckEventPoints(3600)}),
+         |m AS (SELECT scope, bucket, value,
+         |  avg(value) OVER (PARTITION BY scope ORDER BY bucket ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS ma,
+         |  count(*) OVER (PARTITION BY scope ORDER BY bucket ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS cnt
+         |  FROM pts)
+         |SELECT scope, bucket, round(value, 2) AS val, round(ma, 4) AS ma FROM m WHERE cnt = 10""".stripMargin,
+    "q12_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS cnt FROM documents GROUP BY 1",
+    "q13_token_count" ->
+      """SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords FROM documents""".stripMargin,
+    "q14_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  round(CASE WHEN length(text) > 0 THEN 1.0 - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END, 4) AS punct_ratio,
+        |  round(CASE WHEN length(text) > 0 THEN 1.0 - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END, 4) AS digit_ratio,
+        |  CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in)\b')) AS INT) AS stopword_count
+        |FROM documents""".stripMargin,
+    "q15_lang_id" ->
+      """WITH c AS (SELECT doc_id,
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
+        |  length(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que)\b')) AS fr,
+        |  length(regexp_extract_all(lower(text), '\b(el|los|las|es|en|por|para|una)\b')) AS es
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |  WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |  ELSE 'de' END AS lang_id
+        |FROM c""".stripMargin,
+    "q16_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, length(t) - 2)) AS u(i)) q),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i), 4) AS jaccard
+        |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
+        |WHERE CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i) >= 0.05""".stripMargin
+    // q17-q19 (Spark-hash sketches), q20-q23 (float ANN / sequential
+    // analyzers): rows-only driver checks; covered by ScalaTest suites.
+  )
 }

@@ -35,7 +35,12 @@ object ScopePipeline {
         else raw(name).map(p => Pt(p.ts, SeriesKernel.normalizeValue(cfg.normalization, p.v)))
       val bucketed = SeriesKernel.bucketSum(normalized, res)
       val filled = SeriesKernel.gapFill(bucketed, res, cfg.gapFill)
-      if (filled.nonEmpty) {
+      // robustness divergence (documented): the reference throws when a
+      // series has fewer points than forecastPeriods (`Timeseries.java:70-72`),
+      // killing the whole loader; at scale one degenerate conversation must
+      // not fail the job, so such series are skipped instead. The fixture
+      // corpus never triggers this (all series ≥ 18 points).
+      if (filled.nonEmpty && filled.length >= cfg.forecastPeriods) {
         val ks0 = KSeries(name, filled, cfg.forecastPeriods)
         // `AbstractDataLoader.java:185-187`: "error" alerts on over only
         val ks = if (name == "error") ks0.withAlertPolicy(over = true, under = false) else ks0

@@ -1,0 +1,88 @@
+package graft.spark
+
+import graft.kernel.{AnalyzerRegistry, KAnalyzer, Pt, ScopePipeline}
+import graft.model.{EngineConfig, Flag, Validated}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Exact-parity distributed detection: the kernel's per-scope pipeline
+  * (process → 12 analyzers → score) runs inside `flatMapGroups` keyed by
+  * scope. Parallelism is ACROSS scopes (conversations) — the 10^12-turn path
+  * reduces turns to bounded per-scope series via the distributed Derive/
+  * SeriesOps aggregations before this stage, and the auto-rollup ladder
+  * bounds per-scope state (SURVEY §7.4-5), guarded by cfg.maxSeriesPoints.
+  *
+  * FP note (SURVEY §4.3): every gate/bound is computed inside the sorted
+  * per-scope kernel, so results are independent of partitioning and
+  * bit-identical to the single-threaded kernel.
+  */
+object Detect {
+
+  final case class SeriesPoint(scope: String, metric: String, bucket: Long, value: Double)
+
+  def detectFlags(
+      points: Dataset[SeriesPoint],
+      cfg: EngineConfig,
+      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all
+  ): Dataset[Flag] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.scope).flatMapGroups { (scope, it) =>
+      val processed = processGroup(scope, it, cfg)
+      analyzers.iterator.flatMap(_.analyze(scope, processed.series.values))
+    }
+  }
+
+  /** Full per-scope run: pipeline + analyzers + V3 scoring → validated
+    * outliers with a details JSON (that timestamp's flag records).
+    */
+  def detectValidated(
+      points: Dataset[SeriesPoint],
+      cfg: EngineConfig,
+      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all
+  ): Dataset[Validated] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.scope).flatMapGroups { (scope, it) =>
+      val processed = processGroup(scope, it, cfg)
+      val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
+      val scores = ScopePipeline.score(flags, cfg.minScore)
+      val byTs = flags.groupBy(_.ts)
+      scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
+        val details = byTs
+          .getOrElse(ts, Seq.empty)
+          .sortBy(f => (f.analyzer, f.metric))
+          .map { f =>
+            s"""{"analyzer":"${f.analyzer}","serie":"${f.metric}","outlier":${f.isOutlier},""" +
+              s""""value":${jd(f.value)},"expected":${jd(f.expected)},"lb":${jd(f.lb)},"rb":${jd(f.rb)}}"""
+          }
+          .mkString("[", ",", "]")
+        Validated(scope, ts, score, details)
+      }
+    }
+  }
+
+  private def jd(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  private def processGroup(
+      scope: String,
+      it: Iterator[SeriesPoint],
+      cfg: EngineConfig
+  ): ScopePipeline.Processed = {
+    val arr = it.toArray
+    require(
+      arr.length <= cfg.maxSeriesPoints,
+      s"scope $scope has ${arr.length} points, exceeding maxSeriesPoints=${cfg.maxSeriesPoints}; " +
+        "roll up to a coarser tier before detection"
+    )
+    val raw: Map[String, Iterable[Pt]] =
+      arr.groupBy(_.metric).map { case (m, ps) => m -> ps.map(p => Pt(p.bucket, p.value)).toIndexedSeq }
+    ScopePipeline.process(raw, cfg)
+  }
+
+  /** Convenience: long-row DataFrame → typed points. */
+  def toPoints(df: org.apache.spark.sql.DataFrame)(implicit spark: SparkSession): Dataset[SeriesPoint] = {
+    import spark.implicits._
+    df.select("scope", "metric", "bucket", "value").as[SeriesPoint]
+  }
+}

@@ -1,0 +1,183 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over a `documents(doc_id, text, ...)` table.
+  * All pure column expressions (whole-stage codegen, no UDFs); the dedup
+  * family is built from explode + hash-aggregate plans that scale by
+  * sharding on (doc, shingle) — no driver-side state.
+  */
+object TextOps {
+
+  /** whitespace tokens, reference-style split */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** token count (BPE-ish subword estimate = ceil(chars/4) also provided) */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_subwords", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+
+  /** quality scoring: length, punctuation/uppercase/digit/whitespace ratios,
+    * stopword count — the usual cheap pretraining-corpus filters.
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    def classRatio(pattern: String): Column =
+      when(len > 0, length(regexp_replace(col("text"), pattern, "")).cast("double") / len)
+        .otherwise(0.0)
+    docs
+      .withColumn("len", len.cast("long"))
+      .withColumn("punct_ratio", round(lit(1.0) - classRatio("[.,;:!?]"), 4))
+      .withColumn("upper_ratio", round(lit(1.0) - classRatio("[A-Z]"), 4))
+      .withColumn("digit_ratio", round(lit(1.0) - classRatio("[0-9]"), 4))
+      .withColumn("stopword_count", size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0))))
+      .withColumn(
+        "quality_ok",
+        col("len") >= 20 && col("punct_ratio") <= 0.3 && col("digit_ratio") <= 0.3
+      )
+  }
+
+  /** language-ID by stopword-profile counts (n-gram heuristic lite):
+    * argmax over per-language marker-word hits, 'und' when all zero.
+    */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val profiles = Seq(
+      "en" -> "\\b(the|and|of|to|is|in|that|it)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+      "fr" -> "\\b(le|la|les|et|est|dans|pour|que)\\b",
+      "es" -> "\\b(el|los|las|es|en|por|para|una)\\b"
+    )
+    val withCounts = profiles.foldLeft(docs) { case (df, (lang, pat)) =>
+      df.withColumn(s"_c_$lang", size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+    }
+    val best = profiles.map { case (lang, _) => struct(col(s"_c_$lang").as("c"), lit(lang).as("l")) }
+    withCounts
+      .withColumn("_best", greatest(best: _*))
+      .withColumn("lang_id", when(col("_best.c") > 0, col("_best.l")).otherwise("und"))
+      .drop(profiles.map(p => s"_c_${p._1}"): _*)
+      .drop("_best")
+  }
+
+  /** deterministic 64-bit document fingerprint: polynomial rolling hash over
+    * tokens (token → crc32, combined with multiplier 1000003). Pure
+    * `aggregate` expression — codegen-friendly, no UDF.
+    */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "fingerprint",
+      aggregate(
+        tokens(col("text")),
+        lit(0L),
+        // modular polynomial hash — keeps the accumulator < 1e9+7 so the
+        // multiply never overflows under ANSI arithmetic
+        (acc, t) => pmod(acc * lit(1000003L) + crc32(t), lit(1000000007L))
+      )
+    )
+
+  /** exact dedup: group identical texts (by md5), keep the smallest doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** word n-gram shingles of a document, distinct, exploded to long rows */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            filter(
+              transform(
+                tokens(col("text")),
+                (_, i) =>
+                  when(
+                    i + n <= size(tokens(col("text"))),
+                    concat_ws(" ", slice(tokens(col("text")), i + 1, lit(n)))
+                  )
+              ),
+              _.isNotNull
+            )
+          )
+        ).as("shingle")
+      )
+
+  /** MinHash signatures: k pseudo-permutations h_i(s) = (a_i·crc32(s) + b_i)
+    * mod p, per-doc min. Output: doc_id, sig ARRAY<BIGINT>[k].
+    */
+  def minHashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
+    val p = 4294967311L // prime > 2^32
+    val hashed = shingled.withColumn("_h", crc32(col("shingle")))
+    val perms = (0 until k).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 31L * i + 7L
+      min(pmod(col("_h") * a + b, lit(p))).as(s"_m$i")
+    }
+    hashed
+      .groupBy("doc_id")
+      .agg(perms.head, perms.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
+    * bucket on (band, band-hash), emit candidate pairs sharing a bucket.
+    * The shuffle key is (band, hash) — uniform by construction.
+    */
+  def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val banded = signatures
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+            b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          )
+        ).as(Seq("band", "band_sig"))
+      )
+      .select(col("doc_id"), col("band"), hash(col("band"), col("band_sig")).as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** exact n-gram Jaccard similarity for candidate (or all intersecting)
+    * pairs via an inverted shingle index: explode → self-join on shingle →
+    * |∩| per pair; |∪| from per-doc shingle counts.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash (64-bit): per-token hash bit votes; bit b set iff Σ±1 > 0.
+    * explode(token) → posexplode(bit) → two hash aggregates.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val bits = tok
+      .select(col("doc_id"), xxhash64(col("tok")).as("_h"))
+      .select(col("doc_id"), col("_h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("set", expr("(_h >> bit) & 1"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(col("set") === 1, 1).otherwise(-1)).as("vote"))
+    bits
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("CAST(1 AS BIGINT) << bit")).otherwise(0L)).as("simhash"))
+  }
+}

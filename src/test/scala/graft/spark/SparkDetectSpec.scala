@@ -1,0 +1,97 @@
+package graft.spark
+
+import graft.jobs.FixtureGen
+import graft.kernel.{AnalyzerRegistry, OracleHarness, ScopePipeline}
+import graft.model.EngineConfig
+import graft.pipeline.Derive
+
+/** End-to-end Spark path vs kernel path on the full fixture corpus:
+  * fixture TSV → synthesized transcripts → Derive (distributed groupBy) →
+  * Detect (flatMapGroups over scopes, 12 analyzers, scoring) must equal the
+  * single-threaded kernel run bit-for-bit. Also asserts the per-turn
+  * text-equality invariant under stable (conv_id, turn_idx) ordering.
+  */
+class SparkDetectSpec extends SparkTestBase {
+
+  private def fixtureRows(fixture: String): Seq[(Long, Map[String, Double])] = {
+    val raw = OracleHarness.parseTsv(fixture)
+    val byTs = scala.collection.mutable.LinkedHashMap.empty[Long, Map[String, Double]]
+    for ((metric, pts) <- raw.toSeq; p <- pts)
+      byTs(p.ts) = byTs.getOrElse(p.ts, Map.empty) + (metric -> p.v)
+    byTs.toSeq
+  }
+
+  // one representative from each fixture family (full corpus runs in the
+  // kernel suite; Spark adds JVM overhead per fixture)
+  private val fixtures = Seq(
+    "constant_line_no_noise_flat_out.tsv",
+    "constant_line_no_noise_with_gap.tsv",
+    "constant_lines_no_noise_with_errors_in_error_rate.tsv",
+    "steady_growth_no_noise_bump_up.tsv",
+    "sine_no_noise_no_errors.tsv",
+    "intervals_no_noise_with_errors.tsv",
+    "real_test_2.tsv", // rollup=300 setting
+    "real_test_4_peak.tsv",
+    "real_test_5_long.tsv" // auto-rollup ladder 60→300→900→1800
+  )
+
+  for (fixture <- fixtures) {
+    test(s"spark detect == kernel: $fixture") {
+      val s = spark
+      import s.implicits._
+      val settings = OracleHarness.settings(fixture)
+      val cfg = EngineConfig(resolution = settings.get("rollup").map(_.toLong).getOrElse(60L))
+
+      val turns = FixtureGen.fromSeries(spark, fixture, fixtureRows(fixture))
+      val derived = Derive.dropEmptySeries(Derive.deriveSeries(turns, cfg.resolution))
+      val validated = Detect
+        .detectValidated(Detect.toPoints(derived)(spark), cfg)
+        .collect()
+        .map(v => v.ts -> v.score)
+        .toMap
+
+      // kernel ground truth (raw TSV path)
+      val raw = OracleHarness.parseTsv(fixture)
+      val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
+      val flags = AnalyzerRegistry.all.flatMap(_.analyze(fixture, processed.series.values))
+      val expected = ScopePipeline.score(flags, cfg.minScore)
+
+      assert(validated.keySet == expected.keySet, "validated ts sets")
+      for ((ts, score) <- expected)
+        assert(validated(ts) == score, s"score at $ts") // bit-exact: same kernel inside
+    }
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val turns = FixtureGen.fromSeries(spark, "fx", fixtureRows("real_test_1.tsv"))
+    val roundTripped = turns
+      .repartition(7)
+      .orderBy("conv_id", "turn_idx")
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"), r.getAs[String]("text")))
+    roundTripped.foreach { case (conv, idx, text) =>
+      val expected = FixtureGen.turnText(conv, idx)
+      assert(text == expected || text == s"ERROR $expected", s"text mismatch at ($conv,$idx)")
+    }
+    assert(roundTripped.map(_._2).toSeq == roundTripped.indices.toSeq, "turn_idx dense & ordered")
+  }
+
+  test("detect is partitioning-invariant (1 vs 32 partitions)") {
+    val s = spark
+    import s.implicits._
+    val cfg = EngineConfig()
+    val turns = FixtureGen.fromSeries(spark, "fx", fixtureRows("real_test_4_flatout.tsv"))
+    val derived = Derive.dropEmptySeries(Derive.deriveSeries(turns, cfg.resolution))
+    val p1 = Detect
+      .detectValidated(Detect.toPoints(derived.repartition(1))(spark), cfg)
+      .collect()
+      .map(v => v.ts -> v.score)
+      .toMap
+    val p32 = Detect
+      .detectValidated(Detect.toPoints(derived.repartition(32))(spark), cfg)
+      .collect()
+      .map(v => v.ts -> v.score)
+      .toMap
+    assert(p1 == p32)
+  }
+}
