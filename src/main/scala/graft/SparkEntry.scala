@@ -260,7 +260,7 @@ object SparkEntry {
     "q21_ann_lsh" -> ((s, dir) => {
       val emb = embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6, nTables = 8)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 

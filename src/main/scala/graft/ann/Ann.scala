@@ -36,16 +36,16 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** deterministic random-hyperplane LSH: plane p's weight for dimension d is
-    * a closed-form pseudo-random in [-1, 1) derived from xxhash64(p, d) — no
-    * RNG state, reproducible at any parallelism. Bucket = bits of
-    * sign(x·plane_p) for p in [0, nPlanes).
+  /** deterministic random-hyperplane LSH: plane (table, p)'s weight for
+    * dimension d is a closed-form pseudo-random in [-1, 1) derived from
+    * xxhash64(table, p, d) — no RNG state, reproducible at any parallelism.
+    * Bucket = sign bits of the nPlanes dot products.
     */
-  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+  def lshBucket(emb: org.apache.spark.sql.Column, table: Int, nPlanes: Int): org.apache.spark.sql.Column = {
     def planeWeight(p: Int) =
       transform(
         sequence(lit(0), size(emb) - 1),
-        d => (pmod(xxhash64(lit(p), d), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+        d => (pmod(xxhash64(lit(table), lit(p), d), lit(2000000L)).cast("double") / 1000000.0) - 1.0
       )
     val bits = (0 until nPlanes).map { p =>
       val dot = aggregate(zip_with(emb, planeWeight(p), (x, w) => x * w), lit(0.0), (acc, v) => acc + v)
@@ -54,20 +54,31 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: only pairs sharing a bucket get exact cosine.
-    * Probe multiplicity via nPlanes; smaller → more recall, bigger buckets.
+  /** Multi-table LSH ANN: nTables independent hash tables of nPlanes sign
+    * bits each; a candidate is any corpus vector sharing (table, bucket) with
+    * the query in ANY table (recall grows as 1−(1−p^planes)^tables). Only
+    * candidates get exact cosine — the shuffle key is (table, bucket), never
+    * the full |Q|×|N| cross product.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    val tables = array((0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes).as("b"))): _*)
+    val c = corpus
+      .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qtables = array((0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes).as("b"))): _*)
     val q = broadcast(
       queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .withColumn("bucket", lshBucket(col("q_emb"), nPlanes))
+        .select(col("query_id"), col("q_emb"), explode(qtables).as("tb"))
+        .select(col("query_id"), col("q_emb"), col("tb.t").as("t"), col("tb.b").as("b"))
     )
-    val scored = c
-      .join(q, Seq("bucket"))
+    val candidates = c
+      .join(q, Seq("t", "b"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

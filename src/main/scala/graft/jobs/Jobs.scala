@@ -1,0 +1,71 @@
+package graft.jobs
+
+import graft.model.EngineConfig
+import graft.spark.Detect
+import graft.store.{TableStore, TierBuilder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry points (north_rule: jobs run via spark-submit with
+  * AQE-tuned shuffles and per-partition checkpoint manifests).
+  */
+object Jobs {
+  def session(appName: String): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // master comes from spark-submit; default for bare `java -cp` runs
+    (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
+  }
+}
+
+/** Rollup: transcripts parquet → raw/1m/1h/1d tier stores with lineage
+  * manifests; resumable (re-invoking after a kill skips completed
+  * partitions of the same input snapshot).
+  *
+  * Usage: Rollup <transcriptsPath> <storeBase> <inputSnapshotId>
+  */
+object Rollup {
+  def main(args: Array[String]): Unit = {
+    val Array(transcriptsPath, storeBase, inputSnapshot) = args.take(3)
+    val spark = Jobs.session("graft-rollup")
+    spark.sparkContext.setLogLevel("WARN")
+    val turns = spark.read.parquet(transcriptsPath)
+    val snaps = TierBuilder.build(spark, turns, storeBase, inputSnapshot)
+    snaps.toSeq.sortBy(_._1).foreach { case (tier, s) =>
+      println(
+        s"""{"tier":"$tier","snapshot":${s.snapshotId},"input":"${s.inputSnapshot}","partitions":${s.partitions.size},"rows":${s.partitions.map(_.rows).sum}}"""
+      )
+    }
+    spark.stop()
+  }
+}
+
+/** Detect: a tier store → validated outliers parquet (full 12-analyzer
+  * exact pipeline per scope).
+  *
+  * Usage: DetectJob <storeBase> <tier> <outPath> [resolutionSeconds]
+  */
+object DetectJob {
+  def main(args: Array[String]): Unit = {
+    val storeBase = args(0)
+    val tier = args(1)
+    val outPath = args(2)
+    val resolution = if (args.length > 3) args(3).toLong else 60L
+    val spark = Jobs.session("graft-detect")
+    spark.sparkContext.setLogLevel("WARN")
+    val points = new TableStore(storeBase, s"tier_$tier")
+      .read(spark)
+      .where(col("metric").isin("regular", "error"))
+      .select("scope", "metric", "bucket", "value")
+    val validated = Detect.detectValidated(
+      Detect.toPoints(points)(spark),
+      EngineConfig(resolution = resolution)
+    )
+    validated.write.mode("overwrite").parquet(outPath)
+    println(s"""{"job":"detect","out":"$outPath","validated":${spark.read.parquet(outPath).count()}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.spark
+
+import graft.codec.ChunkTables
+import graft.jobs.FixtureGen
+import graft.pipeline.{Derive, SeriesOps}
+import graft.text.TextOps
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** Distributed-operator sanity specs: chunk pack/unpack roundtrip, MinHash
+  * LSH recall vs exact Jaccard, SimHash similarity behavior, ANN LSH recall
+  * vs brute force, gap-fill modes.
+  */
+class OpsSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    // synthetic corpus with planted near-duplicates
+    val base = (0 until 60).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa word$i tail$i more${i % 7}"))
+    val dups = (0 until 10).map(i => (100L + i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa word$i tail$i CHANGED${i}"))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("chunk pack/unpack roundtrips points through binary columns") {
+    val turns = FixtureGen.synthetic(spark, nConvs = 20, maxTurns = 2000, partitions = 2)
+    val points = Derive.deriveSeries(turns, 60L)
+    val packed = ChunkTables.pack(points, 86400L)
+    val unpacked = ChunkTables.unpack(packed)
+    assert(unpacked.count() == points.count())
+    val a = points.agg(sum(col("value")), sum(col("bucket"))).head
+    val b = unpacked.agg(sum(col("value")), sum(col("bucket"))).head
+    assert(a == b)
+    // compression: binary bytes well below 16 bytes/point
+    val bytes = packed.agg(sum(length(col("data")))).head.getLong(0)
+    assert(bytes < points.count() * 12, s"$bytes bytes for ${points.count()} points")
+  }
+
+  test("minhash LSH candidates catch planted near-duplicates") {
+    val sigs = TextOps.minHashSignatures(TextOps.shingles(docs, 3), 32)
+    val pairs = TextOps.minHashCandidatePairs(sigs, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps
+      .ngramJaccardPairs(docs, 3, minJaccard = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "planted dups must be exact near-duplicates")
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash of near-duplicates has small hamming distance") {
+    val sh = TextOps.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // planted pair (i, 100+i) share ~90% tokens
+    val close = (0 until 10).map(i => hamming(sh(i.toLong), sh(100L + i)))
+    val far = (0 until 10).map(i => hamming(sh(i.toLong), sh(((i + 23) % 60).toLong)))
+    assert(close.sum < far.sum, s"close=$close far=$far")
+  }
+
+  test("ANN LSH finds most brute-force neighbors") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = Ann
+      .bruteForceTopK(emb, queries, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val lsh = Ann
+      .lshTopK(emb, queries, 10, nPlanes = 4, nTables = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall (4 planes x 8 tables, top-10)")
+  }
+
+  test("gap-fill modes: locf and linear") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(("a", "m", 60L, 10.0), ("a", "m", 300L, 18.0))
+      .toDF("scope", "metric", "bucket", "value")
+    def vals(mode: graft.model.GapFillMode.Value) =
+      SeriesOps
+        .gapFill(pts, 60L, mode)
+        .orderBy("bucket")
+        .collect()
+        .map(_.getAs[Double]("value"))
+        .toSeq
+    assert(vals(graft.model.GapFillMode.Zero) == Seq(10.0, 0.0, 0.0, 0.0, 18.0))
+    assert(vals(graft.model.GapFillMode.Locf) == Seq(10.0, 10.0, 10.0, 10.0, 18.0))
+    assert(vals(graft.model.GapFillMode.Linear) == Seq(10.0, 12.0, 14.0, 16.0, 18.0))
+  }
+}
