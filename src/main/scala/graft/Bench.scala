@@ -49,26 +49,54 @@ object Bench {
   /** Build the synthetic corpus once (written to parquet so the measured job
     * reads real files), then time derive→1m→1h→1d materialization.
     * Returns (points/sec over all tiers produced, per-tier row counts, secs).
+    *
+    * Workload shape: 2-second turn cadence so the 60s derive genuinely
+    * aggregates (~30 turns/bucket — the 100TB path is reduction-heavy, not
+    * pass-through). Tier data goes to /dev/shm when available so the
+    * single local disk does not serialize the measurement (on a real
+    * cluster every executor has its own disks).
     */
   def rollupThroughput(spark: SparkSession, turns: Long, partitions: Int): (Double, Seq[(String, Long)], Double) = {
-    val base = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    val nConvs = math.max(turns / 2000L, 16L)
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft_bench").toString
+      else java.nio.file.Files.createTempDirectory("graft_bench").toString
+    // size the power-law corpus so the ACTUAL turn count ≈ `turns`:
+    // Σ_c maxTurns/(1+c)^0.7 ≈ maxTurns · n^0.3/0.3 for n conversations
+    val nConvs = math.max(turns / 4000L, 16L)
+    val maxTurns = math.max((turns * 0.3 / math.pow(nConvs.toDouble, 0.3)).toLong, 64L)
     FixtureGen
-      .synthetic(spark, nConvs, maxTurns = turns / 8, partitions = math.max(partitions * 2, 8))
+      .synthetic(spark, nConvs, maxTurns = maxTurns, stepSeconds = 2L, partitions = math.max(partitions * 2, 8))
       .write.mode("overwrite").parquet(s"$base/transcripts")
+    val actualTurns = spark.read.parquet(s"$base/transcripts").count()
+
+    // warm up codegen/classloading outside the measured window (a cluster
+    // job amortizes this once per executor; the 1-JVM proxy pays it once)
+    Derive
+      .deriveSeries(spark.read.parquet(s"$base/transcripts").limit(100000), 60L, extraMetrics = true)
+      .write.mode("overwrite").parquet(s"$base/warmup")
 
     val t0 = System.nanoTime()
     val transcripts = spark.read.parquet(s"$base/transcripts")
     val derived = Derive.deriveSeries(transcripts, 60L, extraMetrics = true)
     derived.write.mode("overwrite").parquet(s"$base/tier_raw")
     val raw = spark.read.parquet(s"$base/tier_raw")
-    var counts = Seq("raw" -> raw.count())
-    for ((name, res, df) <- SeriesOps.tiers(raw)) {
-      df.write.mode("overwrite").parquet(s"$base/tier_$name")
+    var counts = Seq("turns" -> actualTurns, "raw" -> raw.count())
+    for ((name, res) <- Seq(("1h", 3600L), ("1d", 86400L))) {
+      val prev = spark.read.parquet(s"$base/tier_" + (if (name == "1h") "raw" else "1h"))
+      SeriesOps.bucketSum(prev, res).write.mode("overwrite").parquet(s"$base/tier_$name")
       counts :+= (name -> spark.read.parquet(s"$base/tier_$name").count())
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    val totalPoints = counts.map(_._2).sum
-    (totalPoints / sec, counts, sec)
+    val totalPoints = counts.filter(_._1 != "turns").map(_._2).sum
+    val out = (totalPoints / sec, counts, sec)
+    // clean up the shm corpus
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    out
   }
 }

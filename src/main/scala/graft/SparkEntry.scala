@@ -273,6 +273,25 @@ object SparkEntry {
         .select(col("scope"), col("ts"), round(col("score"), 2).as("score"))
     }),
 
+    // multimodal: batched feature extraction over binary media columns
+    // (deterministic synthetic corpus; decode is a marked stub — rows-only)
+    "q24_media_features" -> ((s, dir) => {
+      import graft.multimodal.MediaOps
+      MediaOps
+        .toEmbeddings(MediaOps.extractFeatures(MediaOps.syntheticMedia(s, 200)))
+        .select(col("vec_id"), round(element_at(col("embedding"), 1), 4).as("f0"), size(col("embedding")).as("dims"))
+    }),
+
+    // multimodal: video frame sampling from duration metadata (rows-only)
+    "q25_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.MediaOps
+      MediaOps
+        .sampleFrames(MediaOps.syntheticMedia(s, 200), everyMs = 5000)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("bytes"))
+    }),
+
     // full 12-analyzer flags (inliers + outliers) — always non-empty
     "q23_detect_flags" -> ((s, dir) => {
       val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)

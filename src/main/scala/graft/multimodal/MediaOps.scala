@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque BINARY columns with typed
+  * metadata, processed in partition-batched passes (the Scala analog of
+  * mapInPandas — one JVM pass per partition over an iterator of rows, so a
+  * real codec would amortize its setup per batch exactly like a Pandas UDF).
+  *
+  * The actual byte→pixels/samples DECODE is a clearly marked STUB
+  * (`FakeCodec`): no image/audio libraries exist in this container, so it is
+  * a deterministic pure function of the bytes. Everything around it — the
+  * schema, the partitioning, the batch iteration shape, the feature/resize/
+  * frame-sample dataflow — is real and tested; swapping FakeCodec for e.g. a
+  * JNI libjpeg binding changes no plan shape.
+  */
+object MediaOps {
+
+  /** typed media row: media bytes + mime + metadata struct */
+  final case class MediaDoc(
+      doc_id: Long,
+      mime: String,
+      media: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Int
+  )
+
+  final case class MediaFeature(doc_id: Long, mime: String, feature: Array[Float])
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** ======== STUB BOUNDARY ==================================================
+    * A real implementation decodes bytes with an image/audio codec. This
+    * deterministic fake stands in: "pixels" are a keyed byte expansion,
+    * features are a fixed-width fold of the bytes. Replace with a codec
+    * binding; signatures stay identical.
+    */
+  object FakeCodec {
+    def decode(media: Array[Byte]): Array[Byte] = media // identity "decode"
+
+    def features(media: Array[Byte], dims: Int = 8): Array[Float] = {
+      val acc = new Array[Float](dims)
+      var i = 0
+      while (i < media.length) {
+        acc(i % dims) += (media(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(media.length / dims, 1)
+      acc.map(_ / n)
+    }
+
+    def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // fake: proportional byte resample
+      val target = math.max(w * h / 64, 1)
+      Array.tabulate(math.min(target, math.max(media.length, 1)))(i => media(i % math.max(media.length, 1)))
+    }
+  }
+  // ======== END STUB BOUNDARY ================================================
+
+  /** deterministic synthetic media corpus (tests/benches — no external data) */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaDoc] = {
+    import spark.implicits._
+    spark
+      .range(n.toLong)
+      .map { id =>
+        val rnd = new scala.util.Random(id) // seeded per-row: deterministic
+        val len = 256 + (id % 512).toInt
+        val bytes = new Array[Byte](len)
+        rnd.nextBytes(bytes)
+        val mime = (id % 3) match {
+          case 0 => "image/jpeg"
+          case 1 => "audio/wav"
+          case _ => "video/mp4"
+        }
+        MediaDoc(id, mime, bytes, 64 + (id % 64).toInt, 64, 1000 * (1 + (id % 30)).toInt)
+      }
+  }
+
+  /** partition-batched feature extraction (mapInPandas-shaped: per-partition
+    * setup, then a streaming pass over the rows).
+    */
+  def extractFeatures(media: Dataset[MediaDoc], dims: Int = 8): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      // per-batch codec setup would happen HERE (stub has none)
+      batch.map(d => MediaFeature(d.doc_id, d.mime, FakeCodec.features(FakeCodec.decode(d.media), dims)))
+    }
+  }
+
+  /** resize pass: metadata updated, bytes re-coded (stub), plan shape real */
+  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { d =>
+        if (d.mime.startsWith("image/")) d.copy(media = FakeCodec.resize(d.media, w, h), width = w, height = h)
+        else d
+      }
+    }
+  }
+
+  /** frame sampling: one row per sampled frame, `everyMs` cadence from the
+    * duration metadata; frame bytes are stub slices of the container bytes.
+    */
+  def sampleFrames(media: Dataset[MediaDoc], everyMs: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(_.mime.startsWith("video/"))
+      .flatMap { d =>
+        val n = math.max(d.duration_ms / everyMs, 1)
+        val chunk = math.max(d.media.length / n, 1)
+        (0 until n).iterator.map { i =>
+          val from = math.min(i * chunk, math.max(d.media.length - 1, 0))
+          val until = math.min(from + chunk, d.media.length)
+          Frame(d.doc_id, i, java.util.Arrays.copyOfRange(d.media, from, until))
+        }
+      }
+  }
+
+  /** media features → embeddings table compatible with graft.ann.Ann */
+  def toEmbeddings(features: Dataset[MediaFeature]): DataFrame =
+    features.toDF().select(
+      col("doc_id").as("vec_id"),
+      transform(col("feature"), _.cast("double")).as("embedding")
+    )
+}

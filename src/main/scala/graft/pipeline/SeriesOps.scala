@@ -29,43 +29,40 @@ object SeriesOps {
   /** O5 (`AbstractDataLoader.java:154-174`): interior gap fill. Zero mode is
     * reference parity; Locf / Linear are the north_star extensions. Quirk
     * preserved: a point at bucket 0 never opens a gap (tsPrev != 0 guard).
-    * Implementation: lead() over the series window → explode(sequence) for
-    * the missing buckets → union. No shuffle beyond the series window's.
+    *
+    * Single-pass plan: lead() over the series window, then each row explodes
+    * into itself + its trailing fill points — no union, so the upstream is
+    * scanned exactly once (the union formulation re-executed the whole input
+    * subtree a second time for the filler branch).
     */
   def gapFill(series: DataFrame, resolution: Long, mode: GapFillMode.Value = GapFillMode.Zero): DataFrame = {
-    val withNext = series
+    val hasGap =
+      col("_next_bucket").isNotNull && col("bucket") =!= 0L &&
+        (col("_next_bucket") - col("bucket")) =!= resolution
+    val fillBuckets =
+      when(hasGap, sequence(col("bucket") + resolution, col("_next_bucket") - resolution, lit(resolution)))
+        .otherwise(array().cast("array<bigint>"))
+    def fillValue(b: org.apache.spark.sql.Column) = mode match {
+      case GapFillMode.Zero => lit(0.0)
+      case GapFillMode.Locf => col("value")
+      case GapFillMode.Linear =>
+        col("value") + (col("_next_value") - col("value")) *
+          ((b - col("bucket")).cast("double") / (col("_next_bucket") - col("bucket")).cast("double"))
+    }
+    series
       .withColumn("_next_bucket", lead("bucket", 1).over(seriesWindow))
       .withColumn("_next_value", lead("value", 1).over(seriesWindow))
-    val fillers = withNext
-      .where(
-        col("_next_bucket").isNotNull &&
-          col("bucket") =!= 0L &&
-          (col("_next_bucket") - col("bucket")) =!= resolution
-      )
       .select(
         col("scope"),
         col("metric"),
-        explode(sequence(col("bucket") + resolution, col("_next_bucket") - resolution, lit(resolution)))
-          .as("fill_bucket"),
-        col("bucket"),
-        col("value"),
-        col("_next_bucket"),
-        col("_next_value")
+        explode(
+          concat(
+            array(struct(col("bucket").as("b"), col("value").as("v"))),
+            transform(fillBuckets, b => struct(b.as("b"), fillValue(b).as("v")))
+          )
+        ).as("_p")
       )
-      .select(
-        col("scope"),
-        col("metric"),
-        col("fill_bucket").as("bucket"),
-        (mode match {
-          case GapFillMode.Zero => lit(0.0)
-          case GapFillMode.Locf => col("value")
-          case GapFillMode.Linear =>
-            col("value") + (col("_next_value") - col("value")) *
-              ((col("fill_bucket") - col("bucket")).cast("double") /
-                (col("_next_bucket") - col("bucket")).cast("double"))
-        }).as("value")
-      )
-    series.unionByName(fillers)
+      .select(col("scope"), col("metric"), col("_p.b").as("bucket"), col("_p.v").as("value"))
   }
 
   /** O9+O10 (`Timeseries.java:75-79,125-149`): annotate each point with its
@@ -78,7 +75,11 @@ object SeriesOps {
   def withSplitAndStats(series: DataFrame, forecastPeriods: Long): DataFrame = {
     val w = seriesWindow
     val wAll = Window.partitionBy("scope", "metric")
-    val annotated = series
+    // stats as conditional WINDOW aggregates over the same partitioning —
+    // one pass, no join, and (unlike a groupBy + join-back) the upstream
+    // plan is not duplicated into a second subtree.
+    val trainVal = when(col("is_train"), col("value"))
+    series
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(wAll))
       .withColumn(
@@ -87,18 +88,12 @@ object SeriesOps {
           .otherwise(floor(col("_n") * 0.7))
       )
       .withColumn("is_train", col("_rn") <= col("_train_n"))
-    val stats = annotated
-      .where(col("is_train"))
-      .groupBy("scope", "metric")
-      .agg(
-        avg("value").as("train_avg"),
-        stddev_pop("value").as("train_stddev"),
-        min("value").as("train_min"),
-        max("value").as("train_max"),
-        count(lit(1)).as("train_count")
-      )
-    // per-series scalars: broadcast join back onto the points
-    annotated.join(broadcast(stats), Seq("scope", "metric"), "left").drop("_rn", "_train_n")
+      .withColumn("train_avg", avg(trainVal).over(wAll))
+      .withColumn("train_stddev", stddev_pop(trainVal).over(wAll))
+      .withColumn("train_min", min(trainVal).over(wAll))
+      .withColumn("train_max", max(trainVal).over(wAll))
+      .withColumn("train_count", count(trainVal).over(wAll))
+      .drop("_rn", "_train_n")
   }
 
   /** O7 (`AbstractDataLoader.java:233-261`): derive error_rate per scope from
@@ -107,6 +102,9 @@ object SeriesOps {
     * one hash aggregate, no join at all. Gate: both train avgs ≥ 10.
     */
   def deriveErrorRate(series: DataFrame, forecastPeriods: Long): DataFrame = {
+    // pivot to wide rows (regular & error share the bucket set by
+    // construction), then train split + gate averages as WINDOW aggregates
+    // over scope — single aggregation, no join, upstream scanned once.
     val wide = series
       .where(col("metric").isin("regular", "error"))
       .groupBy("scope", "bucket")
@@ -115,18 +113,20 @@ object SeriesOps {
         max(when(col("metric") === "error", col("value"))).as("error")
       )
       .where(col("regular").isNotNull && col("error").isNotNull)
-    // gate on train averages of both series
-    val split = withSplitAndStats(series.where(col("metric").isin("regular", "error")), forecastPeriods)
-    val gates = split
-      .groupBy("scope")
-      .agg(
-        min(when(col("metric") === "regular", col("train_avg"))).as("avg_regular"),
-        min(when(col("metric") === "error", col("train_avg"))).as("avg_error")
-      )
-      .where(col("avg_regular") >= 10.0 && col("avg_error") >= 10.0)
-      .select("scope")
+    val w = Window.partitionBy("scope").orderBy("bucket")
+    val wAll = Window.partitionBy("scope")
     wide
-      .join(broadcast(gates), Seq("scope"), "left_semi")
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn(
+        "_train_n",
+        when(col("_n") - floor(col("_n") * 0.7) > forecastPeriods, col("_n") - forecastPeriods)
+          .otherwise(floor(col("_n") * 0.7))
+      )
+      .withColumn("_is_train", col("_rn") <= col("_train_n"))
+      .withColumn("_avg_regular", avg(when(col("_is_train"), col("regular"))).over(wAll))
+      .withColumn("_avg_error", avg(when(col("_is_train"), col("error"))).over(wAll))
+      .where(col("_avg_regular") >= 10.0 && col("_avg_error") >= 10.0)
       .select(
         col("scope"),
         lit("error_rate").as("metric"),

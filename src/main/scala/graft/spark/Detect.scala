@@ -3,13 +3,21 @@ package graft.spark
 import graft.kernel.{AnalyzerRegistry, KAnalyzer, Pt, ScopePipeline}
 import graft.model.{EngineConfig, Flag, Validated}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Exact-parity distributed detection: the kernel's per-scope pipeline
-  * (process → 12 analyzers → score) runs inside `flatMapGroups` keyed by
-  * scope. Parallelism is ACROSS scopes (conversations) — the 10^12-turn path
-  * reduces turns to bounded per-scope series via the distributed Derive/
-  * SeriesOps aggregations before this stage, and the auto-rollup ladder
-  * bounds per-scope state (SURVEY §7.4-5), guarded by cfg.maxSeriesPoints.
+  * (process → 12 analyzers → score) runs per conversation inside
+  * `mapPartitions` over scope-clustered, (scope, metric, bucket)-sorted
+  * partitions. Parallelism is ACROSS scopes — the 10^12-turn path reduces
+  * turns to bounded per-scope series via the distributed Derive/SeriesOps
+  * aggregations first, and the auto-rollup ladder bounds per-scope state
+  * (SURVEY §7.4-5), guarded by cfg.maxSeriesPoints.
+  *
+  * Shuffle shape: ONE exchange — repartition(scope) + sortWithinPartitions,
+  * then a streaming pass that holds a single scope in memory at a time
+  * (no groupByKey object hashing, no second exchange). When the input is
+  * already scope-clustered (e.g. straight off a repartition(scope) derive),
+  * pass assumeClustered = true and the repartition is skipped entirely.
   *
   * FP note (SURVEY §4.3): every gate/bound is computed inside the sorted
   * per-scope kernel, so results are independent of partitioning and
@@ -19,16 +27,41 @@ object Detect {
 
   final case class SeriesPoint(scope: String, metric: String, bucket: Long, value: Double)
 
+  /** consecutive-run grouping over a scope-sorted iterator — one scope
+    * buffered at a time.
+    */
+  private def scopeRuns(it: Iterator[SeriesPoint]): Iterator[(String, Array[SeriesPoint])] =
+    new Iterator[(String, Array[SeriesPoint])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (String, Array[SeriesPoint]) = {
+        val scope = buf.head.scope
+        val arr = scala.collection.mutable.ArrayBuffer.empty[SeriesPoint]
+        while (buf.hasNext && buf.head.scope == scope) arr += buf.next()
+        (scope, arr.toArray)
+      }
+    }
+
+  private def clustered(points: Dataset[SeriesPoint], assumeClustered: Boolean): Dataset[SeriesPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val df = if (assumeClustered) points.toDF() else points.toDF().repartition(col("scope"))
+    df.sortWithinPartitions("scope", "metric", "bucket").as[SeriesPoint]
+  }
+
   def detectFlags(
       points: Dataset[SeriesPoint],
       cfg: EngineConfig,
-      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all
+      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all,
+      assumeClustered: Boolean = false
   ): Dataset[Flag] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.scope).flatMapGroups { (scope, it) =>
-      val processed = processGroup(scope, it, cfg)
-      analyzers.iterator.flatMap(_.analyze(scope, processed.series.values))
+    clustered(points, assumeClustered).mapPartitions { it =>
+      scopeRuns(it).flatMap { case (scope, pts) =>
+        val processed = processGroup(scope, pts, cfg)
+        analyzers.iterator.flatMap(_.analyze(scope, processed.series.values))
+      }
     }
   }
 
@@ -38,25 +71,28 @@ object Detect {
   def detectValidated(
       points: Dataset[SeriesPoint],
       cfg: EngineConfig,
-      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all
+      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all,
+      assumeClustered: Boolean = false
   ): Dataset[Validated] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.scope).flatMapGroups { (scope, it) =>
-      val processed = processGroup(scope, it, cfg)
-      val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
-      val scores = ScopePipeline.score(flags, cfg.minScore)
-      val byTs = flags.groupBy(_.ts)
-      scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
-        val details = byTs
-          .getOrElse(ts, Seq.empty)
-          .sortBy(f => (f.analyzer, f.metric))
-          .map { f =>
-            s"""{"analyzer":"${f.analyzer}","serie":"${f.metric}","outlier":${f.isOutlier},""" +
-              s""""value":${jd(f.value)},"expected":${jd(f.expected)},"lb":${jd(f.lb)},"rb":${jd(f.rb)}}"""
-          }
-          .mkString("[", ",", "]")
-        Validated(scope, ts, score, details)
+    clustered(points, assumeClustered).mapPartitions { it =>
+      scopeRuns(it).flatMap { case (scope, pts) =>
+        val processed = processGroup(scope, pts, cfg)
+        val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
+        val scores = ScopePipeline.score(flags, cfg.minScore)
+        val byTs = flags.groupBy(_.ts)
+        scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
+          val details = byTs
+            .getOrElse(ts, Seq.empty)
+            .sortBy(f => (f.analyzer, f.metric))
+            .map { f =>
+              s"""{"analyzer":"${f.analyzer}","serie":"${f.metric}","outlier":${f.isOutlier},""" +
+                s""""value":${jd(f.value)},"expected":${jd(f.expected)},"lb":${jd(f.lb)},"rb":${jd(f.rb)}}"""
+            }
+            .mkString("[", ",", "]")
+          Validated(scope, ts, score, details)
+        }
       }
     }
   }
@@ -66,10 +102,9 @@ object Detect {
 
   private def processGroup(
       scope: String,
-      it: Iterator[SeriesPoint],
+      arr: Array[SeriesPoint],
       cfg: EngineConfig
   ): ScopePipeline.Processed = {
-    val arr = it.toArray
     require(
       arr.length <= cfg.maxSeriesPoints,
       s"scope $scope has ${arr.length} points, exceeding maxSeriesPoints=${cfg.maxSeriesPoints}; " +
