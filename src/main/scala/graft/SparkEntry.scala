@@ -273,6 +273,16 @@ object SparkEntry {
         .select(col("scope"), col("ts"), round(col("score"), 2).as("score"))
     }),
 
+    // embedding-cosine near-dup pairs via LSH candidates (rows-only oracle;
+    // recall-tested vs brute force in OpsSpec)
+    "q26_embedding_neardup" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      graft.ann.Ann
+        .nearDupPairs(emb, minCosine = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    }),
+
     // multimodal: batched feature extraction over binary media columns
     // (deterministic synthetic corpus; decode is a marked stub — rows-only)
     "q24_media_features" -> ((s, dir) => {

@@ -54,6 +54,27 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** embedding-cosine near-duplicate pairs (dedup family): multi-table LSH
+    * candidates over the WHOLE corpus (self-join on (table, bucket), not a
+    * query set), exact cosine only on candidates, keep pairs ≥ minCosine.
+    */
+  def nearDupPairs(corpus: DataFrame, minCosine: Double, nPlanes: Int = 6, nTables: Int = 6): DataFrame = {
+    val tables = array(
+      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes).as("b"))): _*
+    )
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = bucketed
+      .as("a")
+      .join(bucketed.as("b"), col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .where(col("sim") >= minCosine)
+  }
+
   /** Multi-table LSH ANN: nTables independent hash tables of nPlanes sign
     * bits each; a candidate is any corpus vector sharing (table, bucket) with
     * the query in ANY table (recall grows as 1−(1−p^planes)^tables). Only

@@ -77,6 +77,22 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall (4 planes x 8 tables, top-10)")
   }
 
+  test("embedding near-dup pairs find planted duplicates") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    // plant exact duplicates: ids 10000+i share i's embedding
+    val planted = emb.where(col("vec_id") < 10).select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = Ann
+      .nearDupPairs(corpus, minCosine = 0.999)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // identical vectors always share every LSH bucket → all 10 found
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, 10000L + i)), s"missing dup $i"))
+  }
+
   test("gap-fill modes: locf and linear") {
     val s = spark
     import s.implicits._
