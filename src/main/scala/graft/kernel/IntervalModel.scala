@@ -21,6 +21,10 @@ import scala.collection.mutable
   *   - useLowRegression iff slopeStdErr < σ;
   *   - predict: σ=0 → avg; inside a projected peak window → peak regression;
   *     else non-pattern regression or NaN.
+  *
+  * Hot loops run over primitive arrays (the scan is O(levels·n)); the
+  * reference's per-level TreeMaps are replaced by filtered parallel arrays
+  * with identical iteration order (ascending ts).
   */
 final class IntervalModel {
   private var data = TreeMap.empty[Long, Double]
@@ -51,11 +55,18 @@ final class IntervalModel {
   def patternsFound: Boolean = isTrained && intervalPatterns.nonEmpty
 
   def train(): Unit = {
+    val tsArr = new Array[Long](data.size)
+    val vArr = new Array[Double](data.size)
+    var k = 0
+    for ((t, v) <- data) { tsArr(k) = t; vArr(k) = v; k += 1 }
+
     var total = 0.0
     dataCount = 0
     var tsPrev = -1L
     tsDelta = -1L
-    for ((ts, v) <- data) {
+    var i = 0
+    while (i < tsArr.length) {
+      val ts = tsArr(i)
       if (tsPrev > -1L) {
         val nowDelta = ts - tsPrev
         if (tsDelta > -1 && nowDelta != tsDelta)
@@ -63,12 +74,14 @@ final class IntervalModel {
         tsDelta = nowDelta
       }
       tsPrev = ts
-      total += v
+      total += vArr(i)
       dataCount += 1
+      i += 1
     }
     avg = total / dataCount.toDouble
     var msqT = 0.0
-    for (v <- data.values) msqT += math.pow(v - avg, 2.0)
+    i = 0
+    while (i < vArr.length) { msqT += math.pow(vArr(i) - avg, 2.0); i += 1 }
     stdDev = math.sqrt(msqT / dataCount.toDouble)
     if (stdDev == 0.0) {
       isTrained = true
@@ -81,24 +94,28 @@ final class IntervalModel {
     var maxScanValue = java.lang.Double.MAX_VALUE
     val maxIterations = 10000
     val scanStep = math.max((maxValue - minValue) / maxIterations, stdDev / 3)
-    var foundPairs = TreeMap.empty[Long, Double]
-    var i = 0
+    val fTs = new Array[Long](tsArr.length)
+    val fV = new Array[Double](tsArr.length)
+    var iter = 0
     var break = false
-    while (i < maxIterations && !break) {
+    while (iter < maxIterations && !break) {
       scanValue -= scanStep
       if (scanValue < minValue) break = true
       else {
-        foundPairs = TreeMap.empty
-        for ((ts, v) <- data) {
+        // filter pass: points ≥ scanValue, < maxScanValue, outside avg±0.1σ
+        var fn = 0
+        i = 0
+        while (i < tsArr.length) {
+          val v = vArr(i)
           val skip = v < scanValue || v >= maxScanValue ||
             (v >= avg - (0.1 * stdDev) && v <= avg + (0.1 * stdDev))
-          if (!skip) foundPairs = foundPairs.updated(ts, v)
+          if (!skip) { fTs(fn) = tsArr(i); fV(fn) = v; fn += 1 }
+          i += 1
         }
-        val foundPairCount = foundPairs.size
-        val usable = foundPairCount >= 3 && !(foundPairCount >= dataCount.toDouble * 0.9)
+        val usable = fn >= 3 && !(fn >= dataCount.toDouble * 0.9)
         if (usable) {
           // chain adjacent peaks into intervals
-          var previousTs = foundPairs.firstKey - tsDelta
+          var previousTs = fTs(0) - tsDelta
           var previousTsDelta = -1L
           var intervalStartTs = -1L
           var intervalLength = 0L
@@ -107,8 +124,9 @@ final class IntervalModel {
           // reference uses java.util.HashMap — iteration order matters for
           // the strict-> argmax below; replicate with the real thing.
           val possibleIntervals = new java.util.HashMap[String, Integer]()
-          var patternDataPoints = TreeMap.empty[Long, Double]
-          for ((ts, v) <- foundPairs) {
+          i = 0
+          while (i < fn) {
+            val ts = fTs(i)
             if (previousTs > -1L) {
               val nowDelta = ts - previousTs
               var endOfChain = false
@@ -139,7 +157,7 @@ final class IntervalModel {
               }
             }
             previousTs = ts
-            patternDataPoints = patternDataPoints.updated(ts, v)
+            i += 1
           }
 
           if (possibleIntervals.size() > 0) {
@@ -165,25 +183,34 @@ final class IntervalModel {
             val occurenceThreshold = 3
             if (maxOccurence >= occurenceThreshold || totalPatternCoverage > 0.5) {
               if (totalPatternCoverage > MinPatternCoverage) {
-                intervalPatterns += new IntervalPattern(length, interval, patternDataPoints, lastIntervalEndTs)
+                intervalPatterns += new IntervalPattern(
+                  length,
+                  interval,
+                  java.util.Arrays.copyOf(fTs, fn),
+                  java.util.Arrays.copyOf(fV, fn),
+                  lastIntervalEndTs
+                )
               }
             }
           }
 
           var minValFound = java.lang.Double.MAX_VALUE
-          for (v <- foundPairs.values) if (v < minValFound) minValFound = v
+          i = 0
+          while (i < fn) { if (fV(i) < minValFound) minValFound = fV(i); i += 1 }
           scanValue = minValFound
           maxScanValue = minValFound
           if (scanValue < minValue) break = true
         }
-        i += 1
+        iter += 1
       }
     }
 
     nonPatternRegression = new SimpleRegression()
-    for ((ts, v) <- data) {
-      if (!intervalPatterns.exists(_.dataPoints.contains(ts)))
-        nonPatternRegression.addData(ts.toDouble, v)
+    i = 0
+    while (i < tsArr.length) {
+      if (!intervalPatterns.exists(_.containsTs(tsArr(i))))
+        nonPatternRegression.addData(tsArr(i).toDouble, vArr(i))
+      i += 1
     }
 
     _totalSumSquares = 0.0
@@ -214,11 +241,23 @@ final class IntervalModel {
   private final class IntervalPattern(
       val length: Int,
       val interval: Int,
-      val dataPoints: TreeMap[Long, Double],
+      val dpTs: Array[Long], // ascending — reference TreeMap order
+      val dpV: Array[Double],
       val lastIntervalEndTs: Long
   ) {
-    val peakRegression = new SimpleRegression()
-    for ((ts, v) <- dataPoints) peakRegression.addData(ts.toDouble, v)
+    private val tsSet = {
+      val s = new java.util.HashSet[java.lang.Long](dpTs.length * 2)
+      dpTs.foreach(t => s.add(t))
+      s
+    }
+    def containsTs(ts: Long): Boolean = tsSet.contains(ts)
+
+    val peakRegression: SimpleRegression = {
+      val r = new SimpleRegression()
+      var i = 0
+      while (i < dpTs.length) { r.addData(dpTs(i).toDouble, dpV(i)); i += 1 }
+      r
+    }
 
     def predict(ts: Long): Double = {
       val tSinceLastOccurrence = ts - lastIntervalEndTs

@@ -23,12 +23,28 @@ object SeriesKernel {
     * fixture corpus is integral → any order is exact).
     */
   def bucketSum(points: Iterable[Pt], res: Long): Array[Pt] = {
-    var m = TreeMap.empty[Long, Double]
-    for (p <- points) {
-      val b = p.ts - (p.ts % res)
-      m = m.updated(b, m.get(b).fold(p.v)(_ + p.v))
+    // stable sort by bucket + sequential merge: same per-bucket summation
+    // order as the TreeMap formulation (input order within a bucket), but
+    // allocation-free in the hot loop
+    val arr = points.iterator.map(p => Pt(p.ts - (p.ts % res), p.v)).toArray
+    if (arr.isEmpty) return arr
+    val sorted = arr.sortBy(_.ts) // scala sort is stable
+    val out = new mutable.ArrayBuffer[Pt](sorted.length)
+    var curTs = sorted(0).ts
+    var acc = sorted(0).v
+    var i = 1
+    while (i < sorted.length) {
+      val p = sorted(i)
+      if (p.ts == curTs) acc += p.v
+      else {
+        out += Pt(curTs, acc)
+        curTs = p.ts
+        acc = p.v
+      }
+      i += 1
     }
-    m.iterator.map { case (t, v) => Pt(t, v) }.toArray
+    out += Pt(curTs, acc)
+    out.toArray
   }
 
   /** O4: value normalization (`AbstractDataLoader.java:414-442`). */
@@ -82,12 +98,25 @@ object SeriesKernel {
     * ascending, so ascending summation is exact parity).
     */
   def rollup(sorted: Array[Pt], res: Long): Array[Pt] = {
-    var m = TreeMap.empty[Long, Double]
-    for (p <- sorted) {
-      val b = p.ts - (p.ts % res)
-      m = m.updated(b, m.get(b).fold(p.v)(_ + p.v))
+    // input is ascending; bucketing preserves order ⇒ sequential merge is
+    // exactly the TreeMap's ascending summation
+    if (sorted.isEmpty) return sorted
+    val out = new mutable.ArrayBuffer[Pt](sorted.length)
+    var curTs = sorted(0).ts - (sorted(0).ts % res)
+    var acc = sorted(0).v
+    var i = 1
+    while (i < sorted.length) {
+      val b = sorted(i).ts - (sorted(i).ts % res)
+      if (b == curTs) acc += sorted(i).v
+      else {
+        out += Pt(curTs, acc)
+        curTs = b
+        acc = sorted(i).v
+      }
+      i += 1
     }
-    m.iterator.map { case (t, v) => Pt(t, v) }.toArray
+    out += Pt(curTs, acc)
+    out.toArray
   }
 
   /** O6: the auto-rollup ladder decision (`AbstractDataLoader.java:263-287`).
