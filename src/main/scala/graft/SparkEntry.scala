@@ -273,6 +273,16 @@ object SparkEntry {
         .select(col("scope"), col("ts"), round(col("score"), 2).as("score"))
     }),
 
+    // IVF ANN: deterministic coarse quantizer + nProbe cell search
+    // (rows-only oracle; recall-tested vs brute force in OpsSpec)
+    "q27_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      graft.ann.Ann
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // embedding-cosine near-dup pairs via LSH candidates (rows-only oracle;
     // recall-tested vs brute force in OpsSpec)
     "q26_embedding_neardup" -> ((s, dir) => {

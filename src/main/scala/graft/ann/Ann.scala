@@ -54,6 +54,76 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — centroids
+    * are the embeddings of evenly-strided corpus rows (closed-form pick, no
+    * RNG) refined by `lloydIters` distributed k-means steps — then search
+    * probes only the `nProbe` nearest centroid cells. Candidate join key is
+    * the cell id; at 10^9 vectors the cross product never materializes.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    // deterministic seed centroids: evenly strided over the lowest vec_ids
+    val strided = corpus.orderBy("vec_id").limit(nCells * 4).collect()
+    var centroids: Array[(Int, Seq[Double])] = (0 until nCells).map { i =>
+      val r = strided((i * strided.length) / nCells)
+      (i, r.getAs[scala.collection.Seq[Double]]("embedding").toSeq)
+    }.toArray
+
+    def assignExpr(cs: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+      // argmin over cells of squared distance = argmax of (2x·c − |c|²)
+      val scored = cs.map { case (i, c) =>
+        val carr = array(c.map(lit): _*)
+        val dot = aggregate(zip_with(col("embedding"), carr, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        val norm = c.map(v => v * v).sum
+        struct((dot * 2 - norm).as("s"), lit(i).as("cell"))
+      }
+      greatest(scored: _*).getField("cell")
+    }
+
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = corpus.withColumn("cell", assignExpr(centroids))
+      val dims = centroids(0)._2.length
+      val updated = assigned
+        .groupBy("cell")
+        .agg(
+          array((0 until dims).map(d => avg(element_at(col("embedding"), d + 1))): _*).as("c")
+        )
+        .collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("c").toSeq)
+        .toMap
+      centroids = centroids.map { case (i, old) => (i, updated.getOrElse(i, old)) }
+      it += 1
+    }
+
+    val cells = corpus.withColumn("cell", assignExpr(centroids))
+    // queries probe their nProbe nearest cells
+    val centroidScores = centroids.map { case (i, c) =>
+      val carr = array(c.map(lit): _*)
+      val dot = aggregate(zip_with(col("q_emb"), carr, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+      val norm = c.map(v => v * v).sum
+      struct((dot * 2 - norm).as("s"), lit(i).as("cell"))
+    }
+    val q = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("_cells", slice(reverse(array_sort(array(centroidScores: _*))), 1, nProbe))
+        .select(col("query_id"), col("q_emb"), explode(col("_cells").getField("cell")).as("cell"))
+    )
+    val scored = cells
+      .join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** embedding-cosine near-duplicate pairs (dedup family): multi-table LSH
     * candidates over the WHOLE corpus (self-join on (table, bucket), not a
     * query set), exact cosine only on candidates, keep pairs ≥ minCosine.

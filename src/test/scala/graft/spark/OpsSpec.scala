@@ -77,6 +77,32 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall (4 planes x 8 tables, top-10)")
   }
 
+  test("IVF ANN finds a reasonable share of brute-force neighbors") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = Ann
+      .bruteForceTopK(emb, queries, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ivf = Ann
+      .ivfTopK(emb, queries, 10, nCells = 8, nProbe = 4, lloydIters = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall (8 cells, probe 4)")
+    // determinism: same plan twice, same result
+    val ivf2 = Ann
+      .ivfTopK(emb, queries, 10, nCells = 8, nProbe = 4, lloydIters = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(ivf == ivf2)
+  }
+
   test("embedding near-dup pairs find planted duplicates") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
