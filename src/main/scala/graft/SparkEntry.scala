@@ -273,6 +273,13 @@ object SparkEntry {
         .select(col("scope"), col("ts"), round(col("score"), 2).as("score"))
     }),
 
+    // Gorilla/delta-of-delta chunk columns: pack→unpack must be the identity,
+    // so the oracle is simply the bucket-sum SQL (strong codec check)
+    "q28_chunk_roundtrip" -> ((s, dir) =>
+      graft.codec.ChunkTables
+        .unpack(graft.codec.ChunkTables.pack(eventPoints(s, dir, 60), 86400L))
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+
     // IVF ANN: deterministic coarse quantizer + nProbe cell search
     // (rows-only oracle; recall-tested vs brute force in OpsSpec)
     "q27_ann_ivf" -> ((s, dir) => {
@@ -336,6 +343,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_bucket_sum" ->
+      s"SELECT event_type AS scope, $duckBucket60 AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
+    // codec roundtrip is the identity on points → same oracle as q01
+    "q28_chunk_roundtrip" ->
       s"SELECT event_type AS scope, $duckBucket60 AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
     "q02_rollup_1h" ->
       s"SELECT event_type AS scope, ${duckBucket(3600)} AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
