@@ -108,7 +108,10 @@ object Bench {
     )
     for (name <- Seq("1h", "1d"))
       counts :+= (name -> spark.read.parquet(s"$base/tier_$name").count())
-    val totalPoints = counts.filter(_._1 != "turns").map(_._2).sum
+    // headline numerator = tier ROWS only; "validated"/"*_ms" entries are
+    // bookkeeping and must not leak into the points count (round-1 bug)
+    val tierKeys = Set("raw", "1h", "1d")
+    val totalPoints = counts.filter(c => tierKeys(c._1)).map(_._2).sum
     // pps on the rollup window; reported wall is the FULL job (rollup+detect)
     val out = (totalPoints / sec, counts, sec + detectSec)
     // clean up the shm corpus

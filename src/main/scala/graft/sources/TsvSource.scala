@@ -22,14 +22,19 @@ object TsvSource {
     val cols = headerLine.split("\\s+")
     val tsIdx = cols.indexOf("ts")
     val regularIdx = cols.indexOf("regular")
-    val errorIdx = cols.indexWhere(_.startsWith("error"))
+    // LAST matching error column wins (`FileDataLoader.java:101` overwrites
+    // the map entry per header token, so later columns shadow earlier ones)
+    val errorIdx = cols.lastIndexWhere(_.startsWith("error"))
     require(tsIdx >= 0, s"no ts column in $path")
 
+    // skip the header LINE by position, not by textual equality (a data line
+    // that happens to equal the header must survive); fixture files are tiny,
+    // so a single-partition ordered read is fine for this compat source
     val rows = spark.read
       .text(path)
-      .select(trim(col("value")).as("line"))
-      .where(length(col("line")) > 0)
-      .where(col("line") =!= headerLine) // skip header (first line)
+      .coalesce(1)
+      .select(trim(col("value")).as("line"), monotonically_increasing_id().as("_ln"))
+      .where(col("_ln") > 0 && length(col("line")) > 0)
       .select(split(col("line"), "\\s+").as("c"))
 
     val metrics = Seq(

@@ -85,18 +85,44 @@ final class TableStore(base: String, table: String) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(dataDir)
 
-    // manifest from what is NOW on disk (covers resumed + fresh partitions)
-    val onDisk = spark.read.parquet(dataDir)
+    // INCREMENTAL manifest: hash only the partitions just written and merge
+    // the parent snapshot's entries for untouched ones. Re-scanning the full
+    // table per commit is O(table) — a scale-killer at 100 TB; dynamic
+    // overwrite leaves untouched partitions byte-identical, so their parent
+    // manifest entries remain valid (this is exactly what Iceberg manifests
+    // buy: commit cost proportional to the delta, not the table).
+    val writtenParts: Set[String] = onlyPartitions.getOrElse(
+      df.select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
+    )
+    val fresh =
+      if (writtenParts.isEmpty) Seq.empty[PartitionManifest]
+      else {
+        val paths = writtenParts.toSeq.sorted.map(p => s"$dataDir/$partitionCol=$p")
+        hashPartitions(spark.read.option("basePath", dataDir).parquet(paths: _*), partitionCol)
+      }
+    val parentSnap = currentSnapshot
+    val inherited = parentSnap
+      .map(_.partitions.filterNot(p => writtenParts(p.partition)))
+      .getOrElse(Seq.empty)
+    val manifest = (inherited ++ fresh).sortBy(_.partition)
+
+    writeSnapshot(parentSnap, inputSnapshot, manifest)
+  }
+
+  /** per-partition (rows, content hash) for the given data only */
+  private def hashPartitions(onDisk: DataFrame, partitionCol: String): Seq[PartitionManifest] = {
     val hashCols = onDisk.columns.sorted.map(col).toSeq
-    val manifest = onDisk
+    onDisk
       .groupBy(col(partitionCol).cast("string").as("p"))
       .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("h"))
       .collect()
       .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h")))
       .sortBy(_.partition)
       .toSeq
+  }
 
-    val parent = currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+  private def writeSnapshot(parentSnap: Option[Snapshot], inputSnapshot: String, manifest: Seq[PartitionManifest]): Snapshot = {
+    val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
     val snap = Snapshot(parent + 1, parent, inputSnapshot, manifest)
     Files.createDirectories(manifestDir)
     Files.writeString(
@@ -125,24 +151,13 @@ final class TableStore(base: String, table: String) {
         }
         .foreach(deleteRecursively)
     }
-    val onDisk = spark.read.parquet(dataDir)
-    val hashCols = onDisk.columns.sorted.map(col).toSeq
-    val manifest = onDisk
-      .groupBy(col(partitionCol).cast("string").as("p"))
-      .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("h"))
-      .collect()
-      .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h")))
-      .sortBy(_.partition)
-      .toSeq
-    val parent = currentSnapshot.map(_.snapshotId).getOrElse(-1L)
-    val snap = Snapshot(parent + 1, parent, inputSnapshot, manifest)
-    Files.writeString(
-      manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json"),
-      ManifestJson.render(snap),
-      StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING
-    )
-    snap
+    // metadata-only commit: dropped partitions leave the survivors untouched,
+    // so the new manifest is the parent's entries filtered — no table scan.
+    val parentSnap = currentSnapshot
+    val manifest = parentSnap
+      .map(_.partitions.filter(_.partition >= cutoff))
+      .getOrElse(hashPartitions(spark.read.parquet(dataDir), partitionCol))
+    writeSnapshot(parentSnap, inputSnapshot, manifest)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -163,22 +178,38 @@ object ManifestJson {
   }
 
   def parse(json: String): Snapshot = {
-    def field(name: String): String = {
-      val i = json.indexOf("\"" + name + "\":")
+    def fieldPos(name: String, from: Int = 0): Int = {
+      val i = json.indexOf("\"" + name + "\":", from)
       require(i >= 0, s"missing $name")
-      json.substring(i + name.length + 3)
+      i + name.length + 3
     }
-    val id = field("snapshot_id").takeWhile(c => c.isDigit || c == '-').toLong
-    val parent = field("parent_id").takeWhile(c => c.isDigit || c == '-').toLong
-    val inputRaw = field("input").drop(1)
-    val input = inputRaw.takeWhile(_ != '"')
-    val partsBlob = field("partitions")
-    val partRe = """\{"p":"([^"]*)","rows":(-?\d+),"hash":(-?\d+)\}""".r
-    val parts = partRe
-      .findAllMatchIn(partsBlob)
-      .map(m => PartitionManifest(m.group(1), m.group(2).toLong, m.group(3).toLong))
-      .toSeq
-    Snapshot(id, parent, input, parts)
+    def longAt(pos: Int): Long =
+      json.substring(pos).takeWhile(c => c.isDigit || c == '-').toLong
+    // JSON string with \" and \\ escapes (the only ones q() emits);
+    // returns (value, index just past the closing quote)
+    def stringAt(pos: Int): (String, Int) = {
+      require(json.charAt(pos) == '"', s"expected string at $pos")
+      val sb = new StringBuilder
+      var i = pos + 1
+      while (json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+        else { sb.append(json.charAt(i)); i += 1 }
+      }
+      (sb.toString, i + 1)
+    }
+    val id = longAt(fieldPos("snapshot_id"))
+    val parent = longAt(fieldPos("parent_id"))
+    val (input, _) = stringAt(fieldPos("input"))
+    var i = fieldPos("partitions") + 1 // past '['
+    val parts = Seq.newBuilder[PartitionManifest]
+    while (json.indexOf("\"p\":", i) >= 0) {
+      val (p, afterP) = stringAt(fieldPos("p", i))
+      val rows = longAt(fieldPos("rows", afterP))
+      val hashPos = fieldPos("hash", afterP)
+      parts += PartitionManifest(p, rows, longAt(hashPos))
+      i = hashPos
+    }
+    Snapshot(id, parent, input, parts.result())
   }
 
   private def q(s: String): String =

@@ -72,19 +72,31 @@ object TierBuilder {
   * conversation whose one reduce key exceeds an executor).
   */
 object SaltedAgg {
-  def sumSalted(df: DataFrame, keys: Seq[String], valueCol: String, saltBuckets: Int): DataFrame = {
-    val salted = df
-      .withColumn("_salt", pmod(xxhash64(col(valueCol) * 31), lit(saltBuckets)))
+  /** Row-unique, deterministic salt. Deriving the salt from the VALUE column
+    * is a trap: a hot key whose rows all carry the same value (constant
+    * counters — the common skew case) would collapse into a single salt
+    * bucket and the mitigation becomes a no-op. monotonically_increasing_id
+    * is unique per row and stable for a given partitioning, so partial
+    * groups spread evenly regardless of value distribution, and retries of
+    * a deterministic input replay the same salt (unlike rand()).
+    */
+  private def rowSalt(saltBuckets: Int) =
+    pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong))
+
+  /** first (partial) phase, exposed so tests can assert the skew spread */
+  private[store] def sumPartials(df: DataFrame, keys: Seq[String], valueCol: String, saltBuckets: Int): DataFrame =
+    df.withColumn("_salt", rowSalt(saltBuckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_partial"))
-    salted
+
+  def sumSalted(df: DataFrame, keys: Seq[String], valueCol: String, saltBuckets: Int): DataFrame =
+    sumPartials(df, keys, valueCol, saltBuckets)
       .groupBy(keys.map(col): _*)
       .agg(sum("_partial").as(valueCol))
-  }
 
   def countSalted(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame = {
     val salted = df
-      .withColumn("_salt", (rand(42) * saltBuckets).cast("int"))
+      .withColumn("_salt", rowSalt(saltBuckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
     salted
