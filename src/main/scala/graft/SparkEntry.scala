@@ -101,6 +101,40 @@ object SparkEntry {
        |  min(value) AS train_min, max(value) AS train_max, count(*) AS train_count
        |  FROM tr WHERE rn <= train_n GROUP BY scope)""".stripMargin
 
+  /** zscore + iqr + moving-average flag CTEs over daily count points, shared
+    * by the q34 score and q36 expected-errors oracles (mirrors
+    * ColumnAnalyzers.{zscoreFlags,iqrFlags,movingAverageFlags} + score).
+    */
+  private val duckDailyFlagCtes =
+    s"""$duckCountSplitStats,
+       |zs AS (SELECT t.scope, t.bucket, t.value,
+       |  s.train_avg - greatest(s.train_stddev, s.train_avg*0.05) AS lb,
+       |  s.train_avg + greatest(s.train_stddev, s.train_avg*0.05) AS rb
+       |  FROM tr t JOIN stats s ON t.scope = s.scope
+       |  WHERE t.rn > t.train_n AND s.train_stddev <= s.train_avg*0.25),
+       |fences AS (SELECT scope, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+       |  FROM tr WHERE rn <= train_n GROUP BY scope),
+       |iq AS (SELECT t.scope, t.bucket, t.value,
+       |  f.q1 - (f.q3-f.q1)*1.5 AS lb, f.q3 + (f.q3-f.q1)*1.5 AS rb
+       |  FROM tr t JOIN fences f ON t.scope = f.scope WHERE t.rn > t.train_n),
+       |mawin AS (SELECT scope, bucket, value, rn, train_n,
+       |  avg(value) OVER w AS ma, count(*) OVER w AS cnt
+       |  FROM tr WINDOW w AS (PARTITION BY scope ORDER BY bucket ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+       |ma AS (SELECT m.scope, m.bucket, m.value,
+       |  m.ma - greatest(s.train_stddev, s.train_avg*0.05) AS lb,
+       |  m.ma + greatest(s.train_stddev, s.train_avg*0.05) AS rb
+       |  FROM mawin m JOIN stats s ON m.scope = s.scope
+       |  WHERE m.cnt = 10 AND m.rn > m.train_n),
+       |flags AS (SELECT *, (value < lb OR value > rb) AS is_outlier FROM (
+       |  SELECT * FROM zs UNION ALL SELECT * FROM iq UNION ALL SELECT * FROM ma) u),
+       |contrib AS (SELECT scope, bucket, is_outlier,
+       |  CASE WHEN is_outlier THEN 3.0 + least(greatest(coalesce(ln(nullif(
+       |    CASE WHEN value < lb THEN abs((lb - value)/lb) ELSE abs((rb - value)/rb) END, 0)), 0.0), 0.0), 3.0)
+       |  ELSE -1.0 END AS c
+       |  FROM flags),
+       |scores AS (SELECT scope, bucket, sum(c) AS score,
+       |  count(*) FILTER (is_outlier) AS matches FROM contrib GROUP BY 1, 2)""".stripMargin
+
   // ---- the queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,6 +353,117 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("bytes"))
     }),
 
+    // O8: auto log-normalize — mixed gate on purpose: daily value sums pass
+    // the train range ≥ 1000 gate (→ ln), daily counts do not (→ identity)
+    "q29_auto_normalize" -> ((s, dir) =>
+      SeriesOps
+        .autoNormalize(
+          SeriesOps.withSplitAndStats(
+            eventPoints(s, dir, 86400).unionByName(countPoints(s, dir, 86400)),
+            10
+          )
+        )
+        .select(col("scope"), col("metric"), col("bucket"), round(col("value"), 4).as("val"))),
+
+    // A9 analog: OLS on train deltas (fit table incl. the reliability gate —
+    // the gate rejects noisy real series, so the fit itself is the oracle)
+    "q30_randomwalk_fit" -> ((s, dir) =>
+      ColumnAnalyzers
+        .randomWalkFit(SeriesOps.withSplitAndStats(eventPoints(s, dir, 3600), 10))
+        .select(
+          col("scope"),
+          round(col("slope") * 1e9, 2).as("slope_e9"),
+          round(col("intercept"), 2).as("intercept"),
+          round(col("rel_mse"), 4).as("rel_mse"),
+          round(col("last_train"), 2).as("last_train"),
+          col("reliable")
+        )),
+
+    // A11 analog: hour-of-day seasonal profile OLS with gate columns
+    "q31_seasonal_fit" -> ((s, dir) =>
+      ColumnAnalyzers
+        .timeBucketFit(SeriesOps.withSplitAndStats(eventPoints(s, dir, 3600), 10))
+        .select(
+          col("scope"),
+          round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("mse"), 4).as("mse"),
+          col("n_buckets"),
+          col("reliable")
+        )),
+
+    // O5: LOCF gap-fill mode
+    "q32_gapfill_locf" -> ((s, dir) =>
+      SeriesOps
+        .gapFill(eventPoints(s, dir, 60), 60, graft.model.GapFillMode.Locf)
+        .select(col("scope"), col("bucket"), round(col("value"), 2).as("val"))),
+
+    // O5: linear-interpolation gap-fill mode. The +1e-7 nudge before
+    // rounding: interpolated midpoints of 2-decimal inputs land EXACTLY on
+    // .xxxx5 round boundaries, where Spark (BigDecimal HALF_UP on the binary
+    // double) and DuckDB (float multiply-round) disagree per-row even on
+    // bitwise-identical doubles; the nudge resolves every boundary upward in
+    // both engines identically.
+    "q33_gapfill_linear" -> ((s, dir) =>
+      SeriesOps
+        .gapFill(eventPoints(s, dir, 60), 60, graft.model.GapFillMode.Linear)
+        .select(col("scope"), col("bucket"), round(col("value") + 1e-7, 4).as("val"))),
+
+    // V2+V3 via the column path: net score (3 + ln-magnitude per outlier,
+    // −1 per inlier) across zscore/iqr/moving-average flag frames
+    "q34_score" -> ((s, dir) => {
+      val stats = SeriesOps.withSplitAndStats(countPoints(s, dir, 86400), 10)
+      ColumnAnalyzers
+        .score(
+          Seq(
+            ColumnAnalyzers.zscoreFlags(stats),
+            ColumnAnalyzers.iqrFlags(stats),
+            ColumnAnalyzers.movingAverageFlags(stats)
+          )
+        )
+        .select(col("scope"), col("bucket"), round(col("score"), 3).as("score"))
+    }),
+
+    // alert policy: error-family series alert on OVER only — under-bound
+    // outliers on metric=error are suppressed (dropped, not demoted)
+    "q35_alert_policy" -> ((s, dir) =>
+      ColumnAnalyzers
+        .zscoreFlags(SeriesOps.withSplitAndStats(userPoints(s, dir, 86400), 10))
+        .select(
+          col("scope"),
+          col("metric"),
+          col("bucket"),
+          round(col("value"), 2).as("val"),
+          col("is_outlier")
+        )),
+
+    // O13: expected-errors check — labels = each scope's max- and min-count
+    // day (+37 s to exercise re-bucketing), reported found/not-found with
+    // outlier matches and the ungated net score
+    "q36_expected_errors" -> ((s, dir) => {
+      val pts = countPoints(s, dir, 86400)
+      val stats = SeriesOps.withSplitAndStats(pts, 10)
+      val frames = Seq(
+        ColumnAnalyzers.zscoreFlags(stats),
+        ColumnAnalyzers.iqrFlags(stats),
+        ColumnAnalyzers.movingAverageFlags(stats)
+      )
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy("scope")
+        .orderBy(col("value").desc, col("bucket").desc)
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy("scope")
+        .orderBy(col("value").asc, col("bucket").asc)
+      val labels = pts
+        .withColumn("_rmax", row_number().over(wMax))
+        .withColumn("_rmin", row_number().over(wMin))
+        .where(col("_rmax") === 1 || col("_rmin") === 1)
+        .select(col("scope"), (col("bucket") + 37L).as("ts"))
+      ColumnAnalyzers
+        .expectedErrorReport(frames, labels, 86400L)
+        .select(col("scope"), col("ts"), col("matches"), round(col("score"), 3).as("score"), col("found"))
+    }),
+
     // full 12-analyzer flags (inliers + outliers) — always non-empty
     "q23_detect_flags" -> ((s, dir) => {
       val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)
@@ -453,8 +598,117 @@ object SparkEntry {
         |SELECT i.doc_a, i.doc_b,
         |  round(CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i), 4) AS jaccard
         |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
-        |WHERE CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i) >= 0.05""".stripMargin
-    // q17-q19 (Spark-hash sketches), q20-q23 (float ANN / sequential
-    // analyzers): rows-only driver checks; covered by ScalaTest suites.
+        |WHERE CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i) >= 0.05""".stripMargin,
+    "q29_auto_normalize" ->
+      s"""WITH pts AS (
+         |  SELECT event_type AS scope, 'value' AS metric, ${duckBucket(86400)} AS bucket, sum(value) AS value FROM events GROUP BY 1, 3
+         |  UNION ALL
+         |  SELECT event_type AS scope, 'count' AS metric, ${duckBucket(86400)} AS bucket, CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1, 3),
+         |split AS (SELECT scope, metric, bucket, value,
+         |  row_number() OVER (PARTITION BY scope, metric ORDER BY bucket) AS rn,
+         |  count(*) OVER (PARTITION BY scope, metric) AS n FROM pts),
+         |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+         |stats AS (SELECT scope, metric, max(value) FILTER (rn <= train_n) AS tmax,
+         |  min(value) FILTER (rn <= train_n) AS tmin FROM tr GROUP BY 1, 2)
+         |SELECT t.scope, t.metric, t.bucket,
+         |  round(CASE WHEN s.tmax - s.tmin >= 1000
+         |    THEN (CASE WHEN t.value < 5.562684646268003e-309 THEN 0.0 ELSE ln(t.value) END)
+         |    ELSE t.value END, 4) AS val
+         |FROM tr t JOIN stats s ON t.scope = s.scope AND t.metric = s.metric""".stripMargin,
+    "q30_randomwalk_fit" ->
+      s"""$duckSplitStats,
+         |d AS (SELECT scope, bucket, value, rn, train_n,
+         |  lag(value) OVER (PARTITION BY scope ORDER BY bucket) AS pv FROM tr),
+         |fit AS (SELECT scope,
+         |  covar_pop(CASE WHEN rn >= 2 AND rn <= train_n THEN CAST(bucket AS DOUBLE) END,
+         |            CASE WHEN rn >= 2 AND rn <= train_n THEN value - pv END) /
+         |  var_pop(CASE WHEN rn >= 2 AND rn <= train_n THEN CAST(bucket AS DOUBLE) END) AS slope,
+         |  avg(CASE WHEN rn >= 2 AND rn <= train_n THEN value - pv END) AS dbar,
+         |  avg(CASE WHEN rn >= 2 AND rn <= train_n THEN CAST(bucket AS DOUBLE) END) AS xbar,
+         |  corr(CASE WHEN rn >= 2 AND rn <= train_n THEN CAST(bucket AS DOUBLE) END,
+         |       CASE WHEN rn >= 2 AND rn <= train_n THEN value - pv END) AS r,
+         |  var_pop(CASE WHEN rn >= 2 AND rn <= train_n THEN CAST(bucket AS DOUBLE) END) AS xvar,
+         |  max(CASE WHEN rn = train_n THEN value END) AS last_train
+         | FROM d GROUP BY scope)
+         |SELECT scope, round(slope*1e9, 2) AS slope_e9, round(dbar - slope*xbar, 2) AS intercept,
+         |  round(coalesce(1.0 - r*r, 0.0), 4) AS rel_mse, round(last_train, 2) AS last_train,
+         |  (coalesce(1.0 - r*r, 0.0) <= 0.05 AND xvar > 0) AS reliable
+         |FROM fit""".stripMargin,
+    "q31_seasonal_fit" ->
+      s"""$duckSplitStats,
+         |prof AS (SELECT scope, CAST(floor((bucket % 86400) / 3600) AS DOUBLE) AS tb, avg(value) AS bv
+         |  FROM tr WHERE rn <= train_n GROUP BY 1, 2),
+         |fit AS (SELECT scope, covar_pop(tb, bv) / var_pop(tb) AS slope,
+         |  avg(bv) AS ybar, avg(tb) AS xbar, corr(tb, bv) AS r, var_pop(bv) AS yvar,
+         |  count(*) AS n_buckets FROM prof GROUP BY scope)
+         |SELECT scope, round(slope, 4) AS slope, round(ybar - slope*xbar, 4) AS intercept,
+         |  round(n_buckets * yvar * coalesce(1.0 - r*r, 0.0) / (n_buckets - 2), 4) AS mse,
+         |  n_buckets,
+         |  (n_buckets >= 24 AND n_buckets * yvar * coalesce(1.0 - r*r, 0.0) / (n_buckets - 2) <= 0.05) AS reliable
+         |FROM fit""".stripMargin,
+    "q32_gapfill_locf" ->
+      s"""WITH b AS ($duckEventPoints60),
+         |r AS (SELECT scope, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+         |g AS (SELECT scope, unnest(generate_series(mn, mx, 60)) AS bucket FROM r),
+         |j AS (SELECT g.scope, g.bucket, b.value FROM g LEFT JOIN b ON g.scope = b.scope AND g.bucket = b.bucket),
+         |f AS (SELECT scope, bucket,
+         |  last_value(value IGNORE NULLS) OVER (PARTITION BY scope ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS v
+         |  FROM j)
+         |SELECT scope, bucket, round(v, 2) AS val FROM f""".stripMargin,
+    "q33_gapfill_linear" ->
+      s"""WITH b AS ($duckEventPoints60),
+         |r AS (SELECT scope, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+         |g AS (SELECT scope, unnest(generate_series(mn, mx, 60)) AS bucket FROM r),
+         |j AS (SELECT g.scope, g.bucket, b.value FROM g LEFT JOIN b ON g.scope = b.scope AND g.bucket = b.bucket),
+         |f AS (SELECT scope, bucket, value,
+         |  last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+         |  last_value(value IGNORE NULLS) OVER wp AS pv,
+         |  first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nb,
+         |  first_value(value IGNORE NULLS) OVER wn AS nv
+         |  FROM j WINDOW
+         |    wp AS (PARTITION BY scope ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+         |    wn AS (PARTITION BY scope ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT scope, bucket, round((CASE WHEN value IS NOT NULL THEN value
+         |  ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END) + 1e-7, 4) AS val
+         |FROM f""".stripMargin,
+    "q34_score" ->
+      s"""$duckDailyFlagCtes
+         |SELECT scope, bucket, round(score, 3) AS score FROM scores WHERE score >= 1.0""".stripMargin,
+    "q35_alert_policy" ->
+      s"""WITH wide AS (
+         |  SELECT 'u' || CAST(user_id % 5 AS VARCHAR) AS scope, ${duckBucket(86400)} AS bucket,
+         |    CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS regular,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error
+         |  FROM events GROUP BY 1, 2),
+         |pts AS (SELECT scope, bucket, 'regular' AS metric, regular AS value FROM wide
+         |  UNION ALL SELECT scope, bucket, 'error', error FROM wide),
+         |split AS (SELECT scope, metric, bucket, value,
+         |  row_number() OVER (PARTITION BY scope, metric ORDER BY bucket) AS rn,
+         |  count(*) OVER (PARTITION BY scope, metric) AS n FROM pts),
+         |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+         |stats AS (SELECT scope, metric, avg(value) FILTER (rn <= train_n) AS a,
+         |  stddev_pop(value) FILTER (rn <= train_n) AS sd FROM tr GROUP BY 1, 2),
+         |zs AS (SELECT t.scope, t.metric, t.bucket, t.value,
+         |  s.a - greatest(s.sd, s.a*0.05) AS lb, s.a + greatest(s.sd, s.a*0.05) AS rb
+         |  FROM tr t JOIN stats s ON t.scope = s.scope AND t.metric = s.metric
+         |  WHERE t.rn > t.train_n AND s.sd <= s.a*0.25)
+         |SELECT scope, metric, bucket, round(value, 2) AS val,
+         |  (value < lb OR value > rb) AS is_outlier
+         |FROM zs
+         |WHERE NOT ((value < lb OR value > rb) AND value < lb AND metric IN ('error', 'error_rate'))""".stripMargin,
+    "q36_expected_errors" ->
+      s"""$duckDailyFlagCtes,
+         |ranked AS (SELECT scope, bucket,
+         |  row_number() OVER (PARTITION BY scope ORDER BY value DESC, bucket DESC) AS rmax,
+         |  row_number() OVER (PARTITION BY scope ORDER BY value ASC, bucket ASC) AS rmin
+         |  FROM pts),
+         |labels AS (SELECT scope, bucket + 37 AS ets FROM ranked WHERE rmax = 1 OR rmin = 1),
+         |want AS (SELECT DISTINCT scope, ets - (ets % 86400) AS bucket FROM labels)
+         |SELECT w.scope, w.bucket AS ts, coalesce(s.matches, 0) AS matches,
+         |  round(coalesce(s.score, 0.0), 3) AS score, (coalesce(s.matches, 0) >= 1) AS found
+         |FROM want w LEFT JOIN scores s ON w.scope = s.scope AND w.bucket = s.bucket""".stripMargin
+    // q17-q19 (Spark-hash sketches), q20-q27 (float ANN / sequential
+    // analyzers / media stubs): rows-only driver checks; covered by
+    // ScalaTest suites.
   )
 }

@@ -98,9 +98,15 @@ object ScopePipeline {
     * emit every ts with score ≥ minScore. Contributions are summed in a
     * canonical (analyzer, metric) order (SURVEY §5.2-Q6) for stable doubles.
     */
-  def score(flags: Seq[Flag], minScore: Double): Map[Long, Double] = {
+  def score(flags: Seq[Flag], minScore: Double): Map[Long, Double] =
+    scoreAll(flags).filter(_._2 >= minScore)
+
+  /** per-ts net scores WITHOUT the minScore gate (the expected-errors check
+    * reports raw scores, `AbstractDataLoader.java:313-320`).
+    */
+  def scoreAll(flags: Seq[Flag]): Map[Long, Double] = {
     val byTs = flags.groupBy(_.ts)
-    byTs.flatMap { case (ts, fs) =>
+    byTs.map { case (ts, fs) =>
       var s = 0.0
       // reference order: all outlier contributions first, then inliers
       // (`AbstractDataLoader.java:301-309`); within each, canonical order.
@@ -109,7 +115,69 @@ object ScopePipeline {
           s += f.outlierScore + SeriesKernel.outlierMagnitude(f.value, f.lb, f.rb, f.outlierScore)
         else s -= f.inlierScore
       }
-      if (s >= minScore) Some(ts -> s) else None
+      ts -> s
+    }
+  }
+
+  /** One outlier record of the validated-details payload — field-for-field
+    * the reference `TimeserieOutlier.getJsonObjectWithDetails`
+    * (`TimeserieOutlier.java:74-85`).
+    */
+  final case class OutlierDetail(
+      serieName: String,
+      timestamp: Long,
+      analyzerName: String,
+      measuredValue: Double,
+      expectedValue: Double,
+      leftBound: Double,
+      rightBound: Double,
+      magnitude: Double
+  )
+
+  /** The validated-details payload (`AbstractDataLoader.java:334-368`):
+    * ALL outlier records of the scope (the reference attaches the same full
+    * list to every validated ts) + the last-10-point snapshot of every
+    * processed series, values ascending by ts. Outliers in canonical
+    * (analyzer, serie, ts) order — the reference's insertion order depends on
+    * analyzer scheduling, so a stable order is used for determinism.
+    */
+  def detailsPayload(
+      flags: Seq[Flag],
+      series: ListMap[String, KSeries]
+  ): (Seq[OutlierDetail], Seq[(String, Seq[Double])]) = {
+    val outliers = flags
+      .filter(_.isOutlier)
+      .sortBy(f => (f.analyzer, f.metric, f.ts))
+      .map { f =>
+        OutlierDetail(
+          f.metric,
+          f.ts,
+          f.analyzer,
+          f.value,
+          f.expected,
+          f.lb,
+          f.rb,
+          SeriesKernel.outlierMagnitude(f.value, f.lb, f.rb, f.outlierScore)
+        )
+      }
+    val snaps = series.toSeq.map { case (n, s) => n -> s.data.takeRight(10).map(_.v).toSeq }
+    (outliers, snaps)
+  }
+
+  /** O13 (`AbstractDataLoader.java:402-410`, `:313-320`): re-bucket the raw
+    * expected-error timestamps to the final resolution, dedupe preserving
+    * first occurrence, then report per expected ts: (ts, outlier matches,
+    * net score, found). Missing entries are reported as not-found with
+    * matches 0 / score 0 (the reference unboxes a null Integer there — an
+    * NPE on any genuinely-missed expected error; divergence documented).
+    */
+  def expectedReport(flags: Seq[Flag], rawExpected: Seq[Long], resolution: Long): Seq[(Long, Long, Double, Boolean)] = {
+    val rebucketed = rawExpected.map(ts => ts - ts % resolution).distinct
+    val outlierCounts = flags.filter(_.isOutlier).groupBy(_.ts).map { case (ts, fs) => ts -> fs.size.toLong }
+    val scores = scoreAll(flags)
+    rebucketed.map { ts =>
+      val matches = outlierCounts.getOrElse(ts, 0L)
+      (ts, matches, scores.getOrElse(ts, 0.0), matches >= 1)
     }
   }
 }

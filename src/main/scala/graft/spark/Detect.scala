@@ -66,7 +66,12 @@ object Detect {
   }
 
   /** Full per-scope run: pipeline + analyzers + V3 scoring → validated
-    * outliers with a details JSON (that timestamp's flag records).
+    * outliers with the reference-shaped details JSON
+    * (`AbstractDataLoader.java:334-368`): `outliers` = every outlier record
+    * in the scope (the reference attaches the SAME full list to each
+    * validated ts, field names per `TimeserieOutlier.getJsonObjectWithDetails`,
+    * `TimeserieOutlier.java:74-85`) and `timeseries` = the last-10-point
+    * snapshot of every processed series (values ascending by ts).
     */
   def detectValidated(
       points: Dataset[SeriesPoint],
@@ -81,17 +86,57 @@ object Detect {
         val processed = processGroup(scope, pts, cfg)
         val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
         val scores = ScopePipeline.score(flags, cfg.minScore)
-        val byTs = flags.groupBy(_.ts)
+        val (outliers, snaps) = ScopePipeline.detailsPayload(flags, processed.series)
+        val outlierJson = outliers
+          .map { o =>
+            s"""{"serie_name":"${o.serieName}","timestamp":${o.timestamp},"analyzer_name":"${o.analyzerName}",""" +
+              s""""measured_value":${jd(o.measuredValue)},"expected_value":${jd(o.expectedValue)},""" +
+              s""""expected_value_left_bound":${jd(o.leftBound)},"expected_value_right_bound":${jd(o.rightBound)},""" +
+              s""""outlier_magnitude":${jd(o.magnitude)}}"""
+          }
+          .mkString("[", ",", "]")
+        val snapshotJson = snaps
+          .map { case (name, vs) => s""""$name":${vs.map(jd).mkString("[", ",", "]")}""" }
+          .mkString("{", ",", "}")
+        val details = s"""{"outliers":$outlierJson,"timeseries":$snapshotJson}"""
         scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
-          val details = byTs
-            .getOrElse(ts, Seq.empty)
-            .sortBy(f => (f.analyzer, f.metric))
-            .map { f =>
-              s"""{"analyzer":"${f.analyzer}","serie":"${f.metric}","outlier":${f.isOutlier},""" +
-                s""""value":${jd(f.value)},"expected":${jd(f.expected)},"lb":${jd(f.lb)},"rb":${jd(f.rb)}}"""
-            }
-            .mkString("[", ",", "]")
           Validated(scope, ts, score, details)
+        }
+      }
+    }
+  }
+
+  /** O13 + V3 expected-errors check, exact path
+    * (`AbstractDataLoader.java:402-410` re-bucket + dedupe at the FINAL
+    * per-scope resolution — which the auto-rollup ladder may have coarsened —
+    * and `:313-320` found/not-found): per expected (scope, ts) report the
+    * number of outlier records at that bucket, the net V3 score (ungated),
+    * and found = matches ≥ 1. Expected timestamps ride along with the scope's
+    * points (broadcast-joined by the caller or passed as a map), so the check
+    * runs inside the same single-exchange per-scope pass as detection.
+    */
+  final case class ExpectedCheck(scope: String, ts: Long, matches: Long, score: Double, found: Boolean)
+
+  def checkExpectedErrors(
+      points: Dataset[SeriesPoint],
+      expected: Map[String, Seq[Long]],
+      cfg: EngineConfig,
+      analyzers: Seq[KAnalyzer] = AnalyzerRegistry.all,
+      assumeClustered: Boolean = false
+  ): Dataset[ExpectedCheck] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val expectedB = spark.sparkContext.broadcast(expected)
+    clustered(points, assumeClustered).mapPartitions { it =>
+      scopeRuns(it).flatMap { case (scope, pts) =>
+        expectedB.value.get(scope) match {
+          case None | Some(Seq()) => Iterator.empty
+          case Some(raw) =>
+            val processed = processGroup(scope, pts, cfg)
+            val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
+            ScopePipeline.expectedReport(flags, raw, processed.resolution).iterator.map {
+              case (ts, matches, score, found) => ExpectedCheck(scope, ts, matches, score, found)
+            }
         }
       }
     }

@@ -76,6 +76,52 @@ class SparkDetectSpec extends SparkTestBase {
     assert(roundTripped.map(_._2).toSeq == roundTripped.indices.toSeq, "turn_idx dense & ordered")
   }
 
+  for (fixture <- fixtures) {
+    test(s"expected-errors check spark == kernel: $fixture") {
+      val errFile = new java.io.File(s"${OracleHarness.fixtureDir}/$fixture.errors")
+      if (errFile.isFile) {
+        val rawExpected = "\\d+".r.findAllIn(scala.io.Source.fromFile(errFile).mkString).map(_.toLong).toSeq
+        val settings = OracleHarness.settings(fixture)
+        val cfg = EngineConfig(resolution = settings.get("rollup").map(_.toLong).getOrElse(60L))
+        val turns = FixtureGen.fromSeries(spark, fixture, fixtureRows(fixture))
+        val derived = Derive.dropEmptySeries(Derive.deriveSeries(turns, cfg.resolution))
+        val mine = Detect
+          .checkExpectedErrors(Detect.toPoints(derived)(spark), Map(fixture -> rawExpected), cfg)
+          .collect()
+          .map(c => (c.ts, c.matches, c.score, c.found))
+          .sortBy(_._1)
+          .toSeq
+
+        val raw = OracleHarness.parseTsv(fixture)
+        val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
+        val flags = AnalyzerRegistry.all.flatMap(_.analyze(fixture, processed.series.values))
+        val kernel = ScopePipeline.expectedReport(flags, rawExpected, processed.resolution).sortBy(_._1)
+
+        assert(mine == kernel, "spark expected-errors report == kernel")
+        assert(mine.nonEmpty && mine.forall(_._4), "corpus contract: all expected errors found")
+      }
+    }
+  }
+
+  test("validated details carry all-outlier records + last-10 snapshots") {
+    val cfg = EngineConfig()
+    val turns = FixtureGen.fromSeries(spark, "fx", fixtureRows("real_test_4_peak.tsv"))
+    val derived = Derive.dropEmptySeries(Derive.deriveSeries(turns, cfg.resolution))
+    val validated = Detect.detectValidated(Detect.toPoints(derived)(spark), cfg).collect()
+    assert(validated.nonEmpty)
+    for (v <- validated) {
+      assert(v.details.contains("\"outliers\":[{\"serie_name\""), v.details.take(200))
+      assert(v.details.contains("\"timeseries\":{"), v.details.take(200))
+      assert(v.details.contains("\"outlier_magnitude\":"))
+      // every series snapshot is a ≤10-element numeric array
+      val snapBlob = v.details.substring(v.details.indexOf("\"timeseries\":"))
+      val arr = "\\[([^\\]]*)\\]".r.findAllMatchIn(snapBlob).map(_.group(1)).toSeq
+      assert(arr.nonEmpty && arr.forall(_.split(",").length <= 10), snapBlob.take(200))
+    }
+    // the reference attaches the SAME full payload to every validated ts
+    assert(validated.map(_.details).distinct.length == 1)
+  }
+
   test("detect is partitioning-invariant (1 vs 32 partitions)") {
     val s = spark
     import s.implicits._
