@@ -264,10 +264,12 @@ object SparkEntry {
     "q15_lang_id" -> ((s, dir) =>
       TextOps.withLangId(documents(s, dir)).select("doc_id", "lang_id")),
 
-    // n-gram Jaccard near-dup pairs (exact, inverted-index join)
+    // n-gram Jaccard near-dup pairs (inverted-index join with a BINDING
+    // shingle df-cap of 20 — the oracle mirrors the cap, proving the
+    // hot-shingle drop semantics, not just the uncapped join)
     "q16_ngram_jaccard" -> ((s, dir) =>
       TextOps
-        .ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05)
+        .ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05, maxShingleDf = 20)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // MinHash+LSH candidate pairs (Spark murmur3 banding — rows-only oracle)
@@ -593,8 +595,10 @@ object SparkEntry {
         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |  FROM toks, unnest(generate_series(1, length(t) - 2)) AS u(i)) q),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |kept AS (SELECT doc_id, s FROM (
+        |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) q WHERE df <= 20),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT i.doc_a, i.doc_b,
         |  round(CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i), 4) AS jaccard
         |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id

@@ -1,19 +1,29 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ARRAY<FLOAT>). Brute-force cosine is the correctness baseline (broadcast
   * the query set, codegen'd zip_with/aggregate dot products — no UDF); the
-  * scale path is random-hyperplane LSH bucketing so the candidate join
-  * shuffles on bucket ids instead of computing |Q|×|N| similarities.
+  * scale paths are random-hyperplane LSH bucketing and an IVF coarse
+  * quantizer, so candidate joins shuffle on bucket/cell ids instead of
+  * computing |Q|×|N| similarities.
+  *
+  * Scale guardrails (round-2): hyperplane weights are driver-computed
+  * splitmix64 constants inlined as array literals (the round-1 per-row
+  * per-dimension xxhash64 inside interpreted higher-order functions dominated
+  * runtime); every self-join has a hot-bucket cap; candidate dedup happens
+  * AFTER scoring on (id, id, sim) rows so embedding payloads never ride
+  * through a dedup shuffle; IVF centroids are DATA in a broadcast single-row
+  * frame, not plan literals, and Lloyd refinement is a distributed
+  * explode-by-dimension aggregation with no driver collect.
   */
 object Ann {
 
   /** cosine similarity between two float-array columns as a pure expression */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
@@ -36,29 +46,170 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** deterministic random-hyperplane LSH: plane (table, p)'s weight for
-    * dimension d is a closed-form pseudo-random in [-1, 1) derived from
-    * xxhash64(table, p, d) — no RNG state, reproducible at any parallelism.
-    * Bucket = sign bits of the nPlanes dot products.
+  // ---- random-hyperplane LSH -------------------------------------------------
+
+  /** splitmix64 finalizer — public-domain bit mixer (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14).
     */
-  def lshBucket(emb: org.apache.spark.sql.Column, table: Int, nPlanes: Int): org.apache.spark.sql.Column = {
-    def planeWeight(p: Int) =
-      transform(
-        sequence(lit(0), size(emb) - 1),
-        d => (pmod(xxhash64(lit(table), lit(p), d), lit(2000000L)).cast("double") / 1000000.0) - 1.0
-      )
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** deterministic plane weight in [-1, 1) for (table, plane, dim) */
+  private def planeWeight(table: Int, plane: Int, dim: Int): Double =
+    ((mix64(table.toLong * 1000003L + plane.toLong * 8191L + dim) >>> 11).toDouble /
+      (1L << 53).toDouble) * 2.0 - 1.0
+
+  /** LSH bucket = sign bits of nPlanes hyperplane dot products. The weights
+    * are driver-computed constants inlined as an array literal per plane:
+    * reproducible at any parallelism and ~100× cheaper per row than deriving
+    * each weight from a hash expression inside the lambda.
+    */
+  def lshBucket(emb: Column, table: Int, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(emb, planeWeight(p), (x, w) => x * w), lit(0.0), (acc, v) => acc + v)
+      val w = array((0 until dims).map(d => lit(planeWeight(table, p, d))): _*)
+      val dot = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — centroids
-    * are the embeddings of evenly-strided corpus rows (closed-form pick, no
-    * RNG) refined by `lloydIters` distributed k-means steps — then search
-    * probes only the `nProbe` nearest centroid cells. Candidate join key is
-    * the cell id; at 10^9 vectors the cross product never materializes.
+  private def embDims(df: DataFrame): Int =
+    df.select(size(col("embedding"))).head.getInt(0)
+
+  /** (vec_id, embedding, t, b) rows for all tables, with a per-(t, b)
+    * hot-bucket cap: a bucket of B rows would emit B² join rows; beyond
+    * maxBucketSize the bucket carries almost no signal (those vectors
+    * collide with everything) and is dropped, bounding the join output by
+    * |buckets|·cap² — linear in the corpus.
+    */
+  private def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
+    val tables = array(
+      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes, dims).as("b"))): _*
+    )
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val wB = Window.partitionBy("t", "b")
+    bucketed
+      .withColumn("_bsz", count(lit(1)).over(wB))
+      .where(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
+  }
+
+  /** embedding-cosine near-duplicate pairs (dedup family): multi-table LSH
+    * candidates over the WHOLE corpus (self-join on (table, bucket), not a
+    * query set), exact cosine computed in the join projection, THEN pair
+    * dedup on (id_a, id_b, sim) — the dedup shuffle carries 24 bytes/row
+    * instead of two embedding payloads.
+    */
+  def nearDupPairs(
+      corpus: DataFrame,
+      minCosine: Double,
+      nPlanes: Int = 6,
+      nTables: Int = 6,
+      maxBucketSize: Int = 1024
+  ): DataFrame = {
+    val bucketed = bucketedCapped(corpus, nPlanes, nTables, embDims(corpus), maxBucketSize)
+    bucketed
+      .as("a")
+      .join(
+        bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim")
+      )
+      .groupBy("id_a", "id_b")
+      .agg(max("sim").as("sim")) // same pair in several tables → identical sim
+      .where(col("sim") >= minCosine)
+  }
+
+  /** Multi-table LSH ANN: nTables independent hash tables of nPlanes sign
+    * bits each; a candidate is any corpus vector sharing (table, bucket) with
+    * the query in ANY table (recall grows as 1−(1−p^planes)^tables). Exact
+    * cosine runs in the candidate-join projection; dedup + top-k operate on
+    * (query_id, neighbor_id, sim) rows only.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      nTables: Int = 8,
+      maxBucketSize: Int = 4096
+  ): DataFrame = {
+    val dims = embDims(corpus)
+    val c = bucketedCapped(corpus, nPlanes, nTables, dims, maxBucketSize)
+    val qtables = array(
+      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes, dims).as("b"))): _*
+    )
+    val q = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .select(col("query_id"), col("q_emb"), explode(qtables).as("tb"))
+        .select(col("query_id"), col("q_emb"), col("tb.t").as("t"), col("tb.b").as("b"))
+    )
+    val scored = c
+      .join(q, Seq("t", "b"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  // ---- IVF -------------------------------------------------------------------
+
+  /** All centroids as ONE broadcastable row: (cells ARRAY<STRUCT<cell INT,
+    * c ARRAY<DOUBLE>, norm DOUBLE>>). Centroids are DATA, not plan literals —
+    * at real cell counts (4k–64k) inlining them into the plan explodes
+    * codegen; a single-row cross join scales to any nCells.
+    */
+  private def centroidRow(assigned: DataFrame, dims: Int): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("cell", "d")
+      .agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("c"))
+      .select(
+        col("cell"),
+        col("c"),
+        aggregate(col("c"), lit(0.0), (a, v) => a + v * v).as("norm")
+      )
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cell"), col("c"), col("norm")))).as("cells"))
+
+  /** nearest-centroid id for `emb` given the cells array column: argmax of
+    * 2·x·c − |c|² (≡ argmin squared distance), ties to the lower cell id.
+    */
+  private def assignCell(cells: Column, emb: Column): Column = {
+    val best = aggregate(
+      cells,
+      struct(lit(Double.MinValue).as("s"), lit(-1).as("cell")),
+      (acc, cs) => {
+        val dot = aggregate(zip_with(emb, cs.getField("c"), (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        val score = dot * 2 - cs.getField("norm")
+        when(score > acc.getField("s"), struct(score.as("s"), cs.getField("cell").as("cell"))).otherwise(acc)
+      }
+    )
+    best.getField("cell")
+  }
+
+  /** IVF (inverted-file) ANN. Seeding is a deterministic hash partition of
+    * the corpus (cell₀ = xxhash64(vec_id) mod nCells → per-cell mean), then
+    * `lloydIters` distributed k-means steps; every step is explode-by-
+    * dimension aggregation + a single-row broadcast cross join — no driver
+    * collect, no orderBy, no plan-literal centroids. Search probes the
+    * nProbe nearest cells per query; the candidate join key is the cell id.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -68,108 +219,46 @@ object Ann {
       nProbe: Int = 4,
       lloydIters: Int = 2
   ): DataFrame = {
-    // deterministic seed centroids: evenly strided over the lowest vec_ids
-    val strided = corpus.orderBy("vec_id").limit(nCells * 4).collect()
-    var centroids: Array[(Int, Seq[Double])] = (0 until nCells).map { i =>
-      val r = strided((i * strided.length) / nCells)
-      (i, r.getAs[scala.collection.Seq[Double]]("embedding").toSeq)
-    }.toArray
-
-    def assignExpr(cs: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
-      // argmin over cells of squared distance = argmax of (2x·c − |c|²)
-      val scored = cs.map { case (i, c) =>
-        val carr = array(c.map(lit): _*)
-        val dot = aggregate(zip_with(col("embedding"), carr, (x, y) => x * y), lit(0.0), (a, v) => a + v)
-        val norm = c.map(v => v * v).sum
-        struct((dot * 2 - norm).as("s"), lit(i).as("cell"))
-      }
-      greatest(scored: _*).getField("cell")
-    }
-
+    val dims = embDims(corpus)
+    val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
+    var cRow = centroidRow(seeded, dims)
     var it = 0
     while (it < lloydIters) {
-      val assigned = corpus.withColumn("cell", assignExpr(centroids))
-      val dims = centroids(0)._2.length
-      val updated = assigned
-        .groupBy("cell")
-        .agg(
-          array((0 until dims).map(d => avg(element_at(col("embedding"), d + 1))): _*).as("c")
-        )
-        .collect()
-        .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("c").toSeq)
-        .toMap
-      centroids = centroids.map { case (i, old) => (i, updated.getOrElse(i, old)) }
+      val assigned = corpus
+        .crossJoin(broadcast(cRow))
+        .withColumn("cell", assignCell(col("cells"), col("embedding")))
+        .select("vec_id", "embedding", "cell")
+      cRow = centroidRow(assigned, dims)
       it += 1
     }
 
-    val cells = corpus.withColumn("cell", assignExpr(centroids))
-    // queries probe their nProbe nearest cells
-    val centroidScores = centroids.map { case (i, c) =>
-      val carr = array(c.map(lit): _*)
-      val dot = aggregate(zip_with(col("q_emb"), carr, (x, y) => x * y), lit(0.0), (a, v) => a + v)
-      val norm = c.map(v => v * v).sum
-      struct((dot * 2 - norm).as("s"), lit(i).as("cell"))
-    }
+    val cells = corpus
+      .crossJoin(broadcast(cRow))
+      .withColumn("cell", assignCell(col("cells"), col("embedding")))
+      .select("vec_id", "embedding", "cell")
+
+    // queries probe their nProbe nearest cells (scored against the same
+    // broadcast centroid row)
+    val probeScores = transform(
+      col("cells"),
+      cs =>
+        struct(
+          (aggregate(zip_with(col("q_emb"), cs.getField("c"), (x, y) => x * y), lit(0.0), (a, v) => a + v) * 2
+            - cs.getField("norm")).as("s"),
+          cs.getField("cell").as("cell")
+        )
+    )
     val q = broadcast(
       queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .withColumn("_cells", slice(reverse(array_sort(array(centroidScores: _*))), 1, nProbe))
+        .crossJoin(broadcast(cRow))
+        .withColumn("_cells", slice(reverse(array_sort(probeScores)), 1, nProbe))
         .select(col("query_id"), col("q_emb"), explode(col("_cells").getField("cell")).as("cell"))
     )
     val scored = cells
       .join(q, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-  }
-
-  /** embedding-cosine near-duplicate pairs (dedup family): multi-table LSH
-    * candidates over the WHOLE corpus (self-join on (table, bucket), not a
-    * query set), exact cosine only on candidates, keep pairs ≥ minCosine.
-    */
-  def nearDupPairs(corpus: DataFrame, minCosine: Double, nPlanes: Int = 6, nTables: Int = 6): DataFrame = {
-    val tables = array(
-      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes).as("b"))): _*
-    )
-    val bucketed = corpus
-      .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val pairs = bucketed
-      .as("a")
-      .join(bucketed.as("b"), col("a.t") === col("b.t") && col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
-      .where(col("sim") >= minCosine)
-  }
-
-  /** Multi-table LSH ANN: nTables independent hash tables of nPlanes sign
-    * bits each; a candidate is any corpus vector sharing (table, bucket) with
-    * the query in ANY table (recall grows as 1−(1−p^planes)^tables). Only
-    * candidates get exact cosine — the shuffle key is (table, bucket), never
-    * the full |Q|×|N| cross product.
-    */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
-    val tables = array((0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes).as("b"))): _*)
-    val c = corpus
-      .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val qtables = array((0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes).as("b"))): _*)
-    val q = broadcast(
-      queries
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .select(col("query_id"), col("q_emb"), explode(qtables).as("tb"))
-        .select(col("query_id"), col("q_emb"), col("tb.t").as("t"), col("tb.b").as("b"))
-    )
-    val candidates = c
-      .join(q, Seq("t", "b"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -83,21 +83,23 @@ object TextOps {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
 
-  /** word n-gram shingles of a document, distinct, exploded to long rows */
+  /** word n-gram shingles of a document, distinct, exploded to long rows.
+    * The token array is materialized ONCE per row before the transform —
+    * referencing `tokens(text)` inside the lambda would re-run the regex
+    * split for every element (O(tokens²) splits per document; this was the
+    * dominant cost of the round-1 Jaccard query).
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
       .select(
         col("doc_id"),
         explode(
           array_distinct(
             filter(
               transform(
-                tokens(col("text")),
-                (_, i) =>
-                  when(
-                    i + n <= size(tokens(col("text"))),
-                    concat_ws(" ", slice(tokens(col("text")), i + 1, lit(n)))
-                  )
+                col("_toks"),
+                (_, i) => when(i + n <= size(col("_toks")), concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
               ),
               _.isNotNull
             )
@@ -126,7 +128,7 @@ object TextOps {
     * bucket on (band, band-hash), emit candidate pairs sharing a bucket.
     * The shuffle key is (band, hash) — uniform by construction.
     */
-  def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
     val banded = signatures
       .select(
         col("doc_id"),
@@ -138,8 +140,20 @@ object TextOps {
         ).as(Seq("band", "band_sig"))
       )
       .select(col("doc_id"), col("band"), hash(col("band"), col("band_sig")).as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // hot-bucket cap: a bucket of B docs emits B²/2 pairs — at corpus scale a
+    // degenerate bucket (e.g. boilerplate-identical band signatures) is a
+    // cross-product bomb, and pairs inside a huge bucket are the least
+    // informative candidates. Dropping buckets > maxBucketSize bounds the
+    // join output by |buckets|·cap² — linear in the corpus. The window and
+    // the self-join share the (band, bucket) partitioning, so the cap costs
+    // no extra exchange.
+    val wB = Window.partitionBy("band", "bucket")
+    val capped = banded
+      .withColumn("_bsz", count(lit(1)).over(wB))
+      .where(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -149,12 +163,23 @@ object TextOps {
     * pairs via an inverted shingle index: explode → self-join on shingle →
     * |∩| per pair; |∪| from per-doc shingle counts.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingles(docs, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh
+    // document-frequency cap (standard): a shingle in D docs contributes D²
+    // join rows — one ubiquitous trigram at corpus scale is quadratic. Drop
+    // shingles with df > maxShingleDf BEFORE the inverted-index self-join;
+    // union sizes (the Jaccard denominator) stay uncapped, so a missed hot
+    // shingle can only lower a pair's measured intersection. The window and
+    // the self-join share the shingle partitioning (one exchange, reused).
+    val wSh = Window.partitionBy("shingle")
+    val kept = sh
+      .withColumn("_df", count(lit(1)).over(wSh))
+      .where(col("_df") <= maxShingleDf)
+      .drop("_df")
+    val inter = kept
       .as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -166,18 +191,27 @@ object TextOps {
   }
 
   /** SimHash (64-bit): per-token hash bit votes; bit b set iff Σ±1 > 0.
-    * explode(token) → posexplode(bit) → two hash aggregates.
+    * One hash aggregate with 64 vote columns — the round-1 formulation
+    * exploded every token into 64 bit-rows (64× shuffle volume); votes as
+    * parallel aggregate columns keep the shuffle at docs × 64 longs with
+    * map-side partial aggregation doing the token work in place.
     */
   def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val bits = tok
-      .select(col("doc_id"), xxhash64(col("tok")).as("_h"))
-      .select(col("doc_id"), col("_h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("set", expr("(_h >> bit) & 1"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(col("set") === 1, 1).otherwise(-1)).as("vote"))
-    bits
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("_tok"))
+      .select(col("doc_id"), xxhash64(col("_tok")).as("_h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$b")
+    }
+    tok
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("CAST(1 AS BIGINT) << bit")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(b => when(col(s"_v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash")
+      )
   }
 }
