@@ -235,12 +235,15 @@ object SesModel {
     def find(lo: SesModel, mid: SesModel, hi: SesModel): SesModel = {
       if (math.abs(mid.alpha - lo.alpha) < OF.Tolerance && math.abs(hi.alpha - mid.alpha) < OF.Tolerance)
         return mid
+      // reuse the already-fitted lo/mid/hi models: only the two midpoints
+      // are new each level (same alphas → bit-identical result, 2.5× fewer
+      // O(n) inits; SES best-fit dominated the detect kernel)
       val models = Array(
-        mk(lo.alpha),
+        lo,
         mk((lo.alpha + mid.alpha) / 2.0),
-        mk(mid.alpha),
+        mid,
         mk((mid.alpha + hi.alpha) / 2.0),
-        mk(hi.alpha)
+        hi
       )
       var best = 0
       var i = 1
