@@ -466,6 +466,24 @@ object SparkEntry {
         .select(col("scope"), col("ts"), col("matches"), round(col("score"), 3).as("score"), col("found"))
     }),
 
+    // O4: value pre-normalization (LOG10 mode) applied at parse time, before
+    // bucketing — the settings-wired ValueNormalizationModes analog
+    "q37_normalize" -> ((s, dir) =>
+      SeriesOps
+        .bucketSum(
+          SeriesOps.normalize(
+            events(s, dir).select(
+              col("event_type").as("scope"),
+              lit("value").as("metric"),
+              unix_timestamp(col("ts")).as("bucket"),
+              col("value")
+            ),
+            graft.model.NormalizationMode.Log10
+          ),
+          3600
+        )
+        .select(col("scope"), col("bucket"), round(col("value"), 4).as("val"))),
+
     // full 12-analyzer flags (inliers + outliers) — always non-empty
     "q23_detect_flags" -> ((s, dir) => {
       val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)
@@ -710,7 +728,11 @@ object SparkEntry {
          |want AS (SELECT DISTINCT scope, ets - (ets % 86400) AS bucket FROM labels)
          |SELECT w.scope, w.bucket AS ts, coalesce(s.matches, 0) AS matches,
          |  round(coalesce(s.score, 0.0), 3) AS score, (coalesce(s.matches, 0) >= 1) AS found
-         |FROM want w LEFT JOIN scores s ON w.scope = s.scope AND w.bucket = s.bucket""".stripMargin
+         |FROM want w LEFT JOIN scores s ON w.scope = s.scope AND w.bucket = s.bucket""".stripMargin,
+    "q37_normalize" ->
+      s"""SELECT event_type AS scope, ${duckBucket(3600)} AS bucket,
+         |  round(sum(CASE WHEN value < 5.562684646268003e-309 THEN 0.0 ELSE log10(value) END), 4) AS val
+         |FROM events GROUP BY 1, 2""".stripMargin,
     // q17-q19 (Spark-hash sketches), q20-q27 (float ANN / sequential
     // analyzers / media stubs): rows-only driver checks; covered by
     // ScalaTest suites.

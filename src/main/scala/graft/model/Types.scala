@@ -80,3 +80,42 @@ final case class EngineConfig(
     /** guard for per-series in-memory analysis (post-rollup series are small) */
     maxSeriesPoints: Int = 2000000
 )
+
+object EngineConfig {
+
+  /** S3 wiring (`AbstractDataLoader.setConfig`, `AbstractDataLoader.java:57-76`):
+    * build a config from a flat settings map (e.g. a `.settings` sidecar).
+    * Reference-honored keys: `rollup` (targetTsStepResolution),
+    * `forecast_periods` (setForecastPeriods), `desired_time_resolution`
+    * (setDesiredTimeResolution — same field as rollup, later key wins).
+    * Extensions (the reference's normalization mode is a hardcoded
+    * "@todo Configure" field, `AbstractDataLoader.java:31`): `normalization`
+    * (none|log|log10|log1p|sqrt), `gap_fill` (zero|locf|linear), `min_score`.
+    * Unknown keys are ignored, like the reference's settings map.
+    */
+  def fromSettings(settings: Map[String, String], base: EngineConfig = EngineConfig()): EngineConfig = {
+    var cfg = base
+    for ((k, v) <- settings) k.toLowerCase match {
+      case "rollup"                  => cfg = cfg.copy(resolution = v.toLong)
+      case "desired_time_resolution" => cfg = cfg.copy(resolution = v.toLong)
+      case "forecast_periods"        => cfg = cfg.copy(forecastPeriods = v.toLong)
+      case "min_score"               => cfg = cfg.copy(minScore = v.toDouble)
+      case "normalization" =>
+        cfg = cfg.copy(normalization = v.toLowerCase match {
+          case "log"   => NormalizationMode.Log
+          case "log10" => NormalizationMode.Log10
+          case "log1p" => NormalizationMode.LogNatural
+          case "sqrt"  => NormalizationMode.Sqrt
+          case _       => NormalizationMode.None
+        })
+      case "gap_fill" =>
+        cfg = cfg.copy(gapFill = v.toLowerCase match {
+          case "locf"   => GapFillMode.Locf
+          case "linear" => GapFillMode.Linear
+          case _        => GapFillMode.Zero
+        })
+      case _ => ()
+    }
+    cfg
+  }
+}

@@ -151,6 +151,27 @@ object SeriesOps {
       ).otherwise(col("value"))
     )
 
+  /** O4 (`AbstractDataLoader.java:414-442` ValueNormalizationModes): value
+    * pre-normalization applied at parse time, as a pure column expression —
+    * the DataFrame analog of `SeriesKernel.normalizeValue`. Log modes clamp
+    * sub-1/Double.MaxValue inputs (incl. 0 and negatives) to 0, matching
+    * the reference's guard.
+    */
+  def normalize(points: DataFrame, mode: graft.model.NormalizationMode.Value): DataFrame = {
+    import graft.model.NormalizationMode._
+    val tiny = 1 / Double.MaxValue
+    def clamped(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      when(col("value") < tiny, 0.0).otherwise(f(col("value")))
+    val v = mode match {
+      case Log        => clamped(log(_))
+      case Log10      => clamped(log10(_))
+      case LogNatural => clamped(log1p(_))
+      case Sqrt       => sqrt(col("value"))
+      case _          => col("value")
+    }
+    points.withColumn("value", v)
+  }
+
   /** O6 generalized (north_rule): the continuous-aggregate tier ladder.
     * Returns (resolution → DataFrame) for raw→1m→1h→1d, each tier built by
     * re-aggregating the previous (narrower input each step).

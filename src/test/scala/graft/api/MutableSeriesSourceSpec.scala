@@ -1,0 +1,110 @@
+package graft.api
+
+import graft.kernel.AnalyzerRegistry
+import graft.model.{EngineConfig, GapFillMode, NormalizationMode}
+import graft.pipeline.SeriesOps
+import graft.spark.SparkTestBase
+import nl.us2.timeseriesoutlierdetection._
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** S4 public programmatic loader: differential vs the reference
+  * `MutableDataLoader`, plus the S3 settings→config wiring and the O4
+  * DataFrame normalization analog.
+  */
+class MutableSeriesSourceSpec extends SparkTestBase {
+
+  private def referenceAnalyzers(): java.util.List[ITimeserieAnalyzer] = {
+    val l = new java.util.ArrayList[ITimeserieAnalyzer]()
+    l.add(new NoopTimeserieAnalyzer())
+    l.add(new NormalDistributionTimeserieAnalyzer())
+    l.add(new LogNormalDistributionTimeserieAnalyzer())
+    l.add(new SimpleRegressionTimeserieAnalyzer())
+    l.add(new MovingAverageTimeserieAnalyzer())
+    l.add(new PolynomialRegressionTimeserieAnalyzer())
+    l.add(new IntervalInterceptorTimeserieAnalyzer())
+    l.add(new RandomWalkRegressionTimeserieAnalyzer())
+    l.add(new TimeBucketSimpleRegressionTimeserieAnalyzer())
+    l.add(new MultipleLinearRegressionTimeserieAnalyzer())
+    l.add(new SimpleExponentialSmoothingTimeserieAnalyzer())
+    l
+  }
+
+  /** constant line with a flat-out tail — mirrors the flat_out fixture shape */
+  private def seriesData: Seq[(Long, Double)] = {
+    val t0 = 1434880000L - 1434880000L % 60
+    (0 until 40).map(i => (t0 + i * 60L, 100.0)) ++ (40 until 43).map(i => (t0 + i * 60L, 0.0))
+  }
+
+  test("programmatic source matches reference MutableDataLoader validate()") {
+    val ref = new MutableDataLoader("spec")
+    val mine = new MutableSeriesSource("spec")
+    for ((ts, v) <- seriesData) {
+      ref.addData("regular", ts.toString, v.toString)
+      mine.addData("regular", ts.toString, v.toString)
+    }
+    ref.load()
+    ref.analyze(referenceAnalyzers())
+    val refValidated = ref.validate(1).asScala.map(v => v.getTs -> v.getScore).toMap
+
+    mine.load()
+    mine.analyze(AnalyzerRegistry.oracleSubset)
+    val mineValidated = mine.validate(1).toMap
+
+    assert(mineValidated.keySet == refValidated.keySet, "validated ts sets")
+    for ((ts, s) <- mineValidated)
+      assert(math.abs(s - refValidated(ts)) <= 1e-9 * math.max(1.0, math.abs(refValidated(ts))), s"score at $ts")
+  }
+
+  test("programmatic source: expected errors found; duplicate adds overwrite") {
+    val src = new MutableSeriesSource("spec")
+    for ((ts, v) <- seriesData) src.addData("regular", ts, v)
+    // overwrite one train point (reference HashMap.put semantics)
+    src.addData("regular", seriesData(5)._1, 100.0)
+    // labels: the flat-out points, offset within the bucket to force rebucket
+    val bad = seriesData.takeRight(3).map(_._1)
+    src.addExpectedErrors(bad.map(_ + 13L))
+    val report = src.load().expectedReport()
+    assert(report.map(_._1) == bad, "rebucketed expected ts")
+    assert(report.forall(_._4), s"all expected errors found: $report")
+  }
+
+  test("settings wiring: rollup/forecast_periods/gap_fill/normalization → EngineConfig") {
+    val cfg = EngineConfig.fromSettings(
+      Map(
+        "rollup" -> "300",
+        "forecast_periods" -> "5",
+        "gap_fill" -> "locf",
+        "normalization" -> "sqrt",
+        "min_score" -> "2.5",
+        "unknown_key" -> "ignored"
+      )
+    )
+    assert(cfg.resolution == 300L && cfg.forecastPeriods == 5L)
+    assert(cfg.gapFill == GapFillMode.Locf && cfg.normalization == NormalizationMode.Sqrt)
+    assert(cfg.minScore == 2.5)
+    // the .settings sidecar path end-to-end (real_test_2 carries rollup=300)
+    val sidecar = graft.sources.TsvSource.readSettings(
+      spark,
+      "/root/reference/src/main/resources/testdata/real_test_2.tsv"
+    )
+    assert(EngineConfig.fromSettings(sidecar).resolution == 300L)
+    // programmatic setConfig path (reference setConfig("rollup", ...))
+    val src = new MutableSeriesSource("s")
+    src.setConfig("rollup", "300")
+    assert(src.config.resolution == 300L)
+  }
+
+  test("O4 DataFrame normalize == kernel normalizeValue for every mode") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(-3.0, 0.0, 1e-310, 0.5, 1.0, 100.0, 12345.678)
+    val df = vals.map(v => ("s", "m", 0L, v)).toDF("scope", "metric", "bucket", "value")
+    for (mode <- NormalizationMode.values.toSeq) {
+      val got = SeriesOps.normalize(df, mode).select("value").collect().map(_.getDouble(0)).toSeq
+      val want = vals.map(v => graft.kernel.SeriesKernel.normalizeValue(mode, v))
+      for ((g, w) <- got.zip(want))
+        assert(g == w || (g.isNaN && w.isNaN), s"$mode: $g vs $w")
+    }
+  }
+}
