@@ -484,6 +484,20 @@ object SparkEntry {
         )
         .select(col("scope"), col("bucket"), round(col("value"), 4).as("val"))),
 
+    // A3 analog: log-normal z-score band over converted daily count series
+    // (outlier rows carry the converted value — reference quirk)
+    "q38_lognormal_flags" -> ((s, dir) =>
+      ColumnAnalyzers
+        .logNormalFlags(SeriesOps.withSplitAndStats(countPoints(s, dir, 86400), 10))
+        .select(
+          col("scope"),
+          col("bucket"),
+          round(col("value"), 4).as("val"),
+          round(col("lb"), 4).as("lb"),
+          round(col("rb"), 4).as("rb"),
+          col("is_outlier")
+        )),
+
     // full 12-analyzer flags (inliers + outliers) — always non-empty
     "q23_detect_flags" -> ((s, dir) => {
       val points = Detect.toPoints(eventPoints(s, dir, 3600))(s)
@@ -733,6 +747,22 @@ object SparkEntry {
       s"""SELECT event_type AS scope, ${duckBucket(3600)} AS bucket,
          |  round(sum(CASE WHEN value < 5.562684646268003e-309 THEN 0.0 ELSE log10(value) END), 4) AS val
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q38_lognormal_flags" ->
+      s"""$duckCountSplitStats,
+         |conv AS (SELECT scope, bucket, value,
+         |  CASE WHEN value > 0 THEN ln(value) ELSE 5.562684646268003e-309 END AS lv,
+         |  rn, train_n FROM tr),
+         |lstats AS (SELECT scope, avg(lv) FILTER (rn <= train_n) AS lavg,
+         |  stddev_pop(lv) FILTER (rn <= train_n) AS lsd FROM conv GROUP BY 1)
+         |SELECT c.scope, c.bucket,
+         |  round(CASE WHEN c.lv < s.lavg - greatest(s.lsd, s.lavg*0.05)
+         |          OR c.lv > s.lavg + greatest(s.lsd, s.lavg*0.05) THEN c.lv ELSE c.value END, 4) AS val,
+         |  round(s.lavg - greatest(s.lsd, s.lavg*0.05), 4) AS lb,
+         |  round(s.lavg + greatest(s.lsd, s.lavg*0.05), 4) AS rb,
+         |  (c.lv < s.lavg - greatest(s.lsd, s.lavg*0.05)
+         |   OR c.lv > s.lavg + greatest(s.lsd, s.lavg*0.05)) AS is_outlier
+         |FROM conv c JOIN lstats s ON c.scope = s.scope
+         |WHERE c.rn > c.train_n AND s.lsd <= s.lavg*0.05 AND s.lsd >= 5.562684646268003e-309""".stripMargin,
     // q17-q19 (Spark-hash sketches), q20-q27 (float ANN / sequential
     // analyzers / media stubs): rows-only driver checks; covered by
     // ScalaTest suites.

@@ -160,6 +160,40 @@ object ColumnAnalyzers {
       .where(notSuppressed)
   }
 
+  /** A3 analog (`LogNormalDistributionTimeserieAnalyzer.java:10-68`):
+    * z-score band over CONVERTED values lv = ln(v) with the reference's
+    * infinite→1/Double.MAX_VALUE clamp (v=0 → tiny; negatives — which the
+    * reference maps to NaN — are clamped to tiny as well: Spark's log()
+    * nulls them, and no series in the domain carries negatives). Per-series
+    * avg/σ_pop computed over converted TRAIN values; gates σ ≤ 0.05·avg and
+    * σ ≥ 1/Double.MAX_VALUE. Quirk preserved: OUTLIER rows carry the
+    * converted value, INLIER rows the raw one (`:57` vs `:63`).
+    */
+  def logNormalFlags(withStats: DataFrame): DataFrame = {
+    val tiny = 1 / Double.MaxValue
+    val lv = when(col("value") > 0.0, log(col("value"))).otherwise(lit(tiny))
+    val wAll = Window.partitionBy("scope", "metric")
+    val trainLv = when(col("is_train"), lv)
+    val maxErr = greatest(col("_lsd"), col("_lavg") * 0.05)
+    withStats
+      .withColumn("_lv", lv)
+      .withColumn("_lavg", avg(trainLv).over(wAll))
+      .withColumn("_lsd", stddev_pop(trainLv).over(wAll))
+      .where(!col("is_train") && col("_lsd") <= col("_lavg") * 0.05 && col("_lsd") >= tiny)
+      .withColumn("is_outlier", col("_lv") < col("_lavg") - maxErr || col("_lv") > col("_lavg") + maxErr)
+      .select(
+        col("scope"),
+        col("metric"),
+        col("bucket"),
+        when(col("is_outlier"), col("_lv")).otherwise(col("value")).as("value"),
+        col("_lavg").as("expected"),
+        (col("_lavg") - maxErr).as("lb"),
+        (col("_lavg") + maxErr).as("rb"),
+        col("is_outlier")
+      )
+      .where(notSuppressed)
+  }
+
   /** A9 analog (`RandomWalkRegressionTimeserieAnalyzer.java:12-68`): OLS on
     * TRAIN deltas (d_i = v_i − v_{i−1}, keyed by the later bucket), gate
     * relMse = 1 − corr² ≤ 0.05 (NaN → 0), then a running-sum forecast over

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.kernel.{AnalyzerRegistry, Pt, ScopePipeline}
+import graft.model.{EngineConfig, Validated}
+import graft.spark.Detect.SeriesPoint
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming detection (north_star: custom state via
+  * `flatMapGroupsWithState`): per-scope state holds the accumulated series
+  * (bounded by cfg.maxSeriesPoints — the auto-rollup ladder keeps processed
+  * series small, and a scope whose RAW stream exceeds the bound drops its
+  * oldest buckets, mirroring tier TTL); every micro-batch re-runs the exact
+  * kernel pipeline over the scope's series and emits the CURRENT validated
+  * outliers for scopes that received data (update-style semantics: a
+  * downstream consumer keeps the latest record per (scope, ts)).
+  *
+  * Input rows must be finalized series points — e.g. the output of
+  * `StreamingDerive.deriveStream`, whose watermark emits each window once.
+  */
+object StreamingDetect {
+
+  final case class ScopeState(points: Array[SeriesPoint])
+
+  def detectStream(
+      derived: Dataset[SeriesPoint],
+      cfg: EngineConfig
+  ): Dataset[Validated] = {
+    val spark = derived.sparkSession
+    import spark.implicits._
+    derived
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (scope: String, rows: Iterator[SeriesPoint], state: GroupState[ScopeState]) => {
+          val prev = state.getOption.map(_.points).getOrElse(Array.empty[SeriesPoint])
+          // merge new finalized windows; a re-delivered (metric, bucket) pair
+          // overwrites (idempotent against foreachBatch replays)
+          val merged = (prev ++ rows)
+            .groupBy(p => (p.metric, p.bucket))
+            .map(_._2.last)
+            .toArray
+            .sortBy(p => (p.metric, p.bucket))
+          // bound state: keep the newest buckets per metric
+          val bounded =
+            if (merged.length <= cfg.maxSeriesPoints) merged
+            else
+              merged
+                .groupBy(_.metric)
+                .values
+                .flatMap(ps => ps.sortBy(_.bucket).takeRight(cfg.maxSeriesPoints / math.max(1, merged.map(_.metric).distinct.length)))
+                .toArray
+                .sortBy(p => (p.metric, p.bucket))
+          state.update(ScopeState(bounded))
+
+          val raw: Map[String, Iterable[Pt]] =
+            bounded.groupBy(_.metric).map { case (m, ps) => m -> ps.map(p => Pt(p.bucket, p.value)).toIndexedSeq }
+          val processed = ScopePipeline.process(raw, cfg)
+          if (processed.series.isEmpty) Iterator.empty
+          else {
+            val flags = AnalyzerRegistry.all.flatMap(_.analyze(scope, processed.series.values))
+            ScopePipeline
+              .score(flags, cfg.minScore)
+              .toSeq
+              .sortBy(_._1)
+              .iterator
+              .map { case (ts, score) => Validated(scope, ts, score, "{}") }
+          }
+        }
+      )
+  }
+
+  /** convenience: long-row streaming DataFrame → typed points */
+  def toPoints(df: DataFrame): Dataset[SeriesPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("scope", "metric", "bucket", "value").as[SeriesPoint]
+  }
+}

@@ -66,6 +66,34 @@ class ColumnAnalyzersSpec extends SparkTestBase {
     assert(!kernelOutliers.contains(2400L), "the dip must be suppressed by both")
   }
 
+  test("lognormal scale path matches kernel flags on a stable series") {
+    val base = (0 until 40).map(i => (i * 60L, 100.0 + (i % 3)))
+    val classify = Seq((2400L, 500.0), (2460L, 101.0), (2520L, 20.0))
+    val pts = base ++ classify
+    val processed = ScopePipeline.process(
+      Map("m" -> pts.map { case (b, v) => Pt(b, v) }),
+      EngineConfig(resolution = 60, forecastPeriods = 3, autoRollup = false)
+    )
+    val kernel = AnalyzerRegistry.all
+      .find(_.name == "LogNormalDistribution")
+      .get
+      .analyze("s1", processed.series.values)
+      .map(f => f.ts -> ((f.value, f.lb, f.rb, f.isOutlier)))
+      .toMap
+    val scale = ColumnAnalyzers
+      .logNormalFlags(SeriesOps.withSplitAndStats(series("m", pts), 3))
+      .select("bucket", "value", "lb", "rb", "is_outlier")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(scale.keySet == kernel.keySet)
+    for ((ts, (v, lb, rb, o)) <- scale) {
+      val (kv, klb, krb, ko) = kernel(ts)
+      assert(o == ko && math.abs(v - kv) < 1e-12 && math.abs(lb - klb) < 1e-12 && math.abs(rb - krb) < 1e-12, s"at $ts")
+    }
+    assert(scale.values.count(_._4) == 2, "the 500 spike and 20 dip are outliers")
+  }
+
   test("random walk: constant-increment train forecasts the line; spike flagged") {
     // v = 10 + 2·i: deltas constant 2 → rel_mse 0, reliable; forecast
     // continues the line. One classify point breaks it.
