@@ -484,6 +484,13 @@ object SparkEntry {
         )
         .select(col("scope"), col("bucket"), round(col("value"), 4).as("val"))),
 
+    // dedup completion: connected components over the (deterministic, capped)
+    // exact-Jaccard near-dup pairs — group id + canonical keep flag
+    "q39_dedup_groups" -> ((s, dir) =>
+      TextOps
+        .dedupGroups(TextOps.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05, maxShingleDf = 20))
+        .select(col("id"), col("group_id"), col("keep"))),
+
     // A3 analog: log-normal z-score band over converted daily count series
     // (outlier rows carry the converted value — reference quirk)
     "q38_lognormal_flags" -> ((s, dir) =>
@@ -747,6 +754,26 @@ object SparkEntry {
       s"""SELECT event_type AS scope, ${duckBucket(3600)} AS bucket,
          |  round(sum(CASE WHEN value < 5.562684646268003e-309 THEN 0.0 ELSE log10(value) END), 4) AS val
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q39_dedup_groups" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, length(t) - 2)) AS u(i)) q),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |kept AS (SELECT doc_id, s FROM (
+        |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) q WHERE df <= 20),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT i.doc_a, i.doc_b
+        |  FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id JOIN cnt cb ON i.doc_b = cb.doc_id
+        |  WHERE CAST(i.i AS DOUBLE)/(ca.n_sh + cb.n_sh - i.i) >= 0.05),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+        |SELECT id, min(r) AS group_id, (id = min(r)) AS keep FROM reach GROUP BY id""".stripMargin,
     "q38_lognormal_flags" ->
       s"""$duckCountSplitStats,
          |conv AS (SELECT scope, bucket, value,

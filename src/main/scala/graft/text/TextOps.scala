@@ -190,6 +190,50 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Dedup completion: connected components over near-duplicate PAIRS (from
+    * ngramJaccardPairs / minHashCandidatePairs / Ann.nearDupPairs) via
+    * iterative min-label propagation — each doc's label converges to the
+    * smallest doc_id in its component, `keep` marks the canonical survivor.
+    * Near-dup components have small diameter, so convergence is a handful of
+    * iterations; each iteration is one shuffle join + aggregate, lineage cut
+    * by localCheckpoint (the standard GraphX-free CC at scale; swap in
+    * large-star/small-star if components with huge diameter ever appear).
+    */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("_nl"))
+      val next = labels
+        .join(prop, Seq("id"), "left_outer")
+        .select(col("id"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .withColumnRenamed("label", "_new")
+        .join(labels, Seq("id"))
+        .where(col("_new") =!= col("label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+      .withColumnRenamed("label", "group_id")
+      .withColumn("keep", col("id") === col("group_id"))
+  }
+
   /** SimHash (64-bit): per-token hash bit votes; bit b set iff Σ±1 > 0.
     * One hash aggregate with 64 vote columns — the round-1 formulation
     * exploded every token into 64 bit-rows (64× shuffle volume); votes as
