@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** cosine similarity between two float-array columns as a pure expression */
+  /** cosine similarity between two double-array columns. Runs on the native
+    * codegen'd DotProduct/SquaredNorm expressions (graft.functions) — the
+    * zip_with/aggregate formulation pays the lambda interpreter per element
+    * per candidate; accumulation order is identical, results bit-equal.
+    */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    import graft.functions.VectorExpressions.{dot, squaredNorm}
+    dot(a, b) / (sqrt(squaredNorm(a)) * sqrt(squaredNorm(b)))
   }
 
   /** brute-force top-k: every query row against the full corpus.
@@ -71,7 +73,7 @@ object Ann {
   def lshBucket(emb: Column, table: Int, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val w = array((0 until dims).map(d => lit(planeWeight(table, p, d))): _*)
-      val dot = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.VectorExpressions.dot(emb, w)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Native DotProduct/SquaredNorm expressions: bit-equality with the
+  * composable zip_with/aggregate formulation, null behavior, and codegen
+  * (the plan's project must sit inside WholeStageCodegen).
+  */
+class VectorExpressionsSpec extends SparkTestBase {
+
+  test("dot/squaredNorm match the higher-order-function formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 200)
+      .map(i => ((0 until 16).map(d => math.sin(i * 17 + d)).toArray, (0 until 16).map(d => math.cos(i * 31 + d)).toArray))
+      .toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val hofNorm = aggregate(col("a"), lit(0.0), (acc, v) => acc + v * v)
+    val rows = df
+      .select(
+        VectorExpressions.dot(col("a"), col("b")).as("d1"),
+        hofDot.as("d2"),
+        VectorExpressions.squaredNorm(col("a")).as("n1"),
+        hofNorm.as("n2")
+      )
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot bit-equality")
+      assert(r.getDouble(2) == r.getDouble(3), "norm bit-equality")
+    }
+  }
+
+  test("null-safe and codegen'd") {
+    val s = spark
+    import s.implicits._
+    // materialize the arrays via parquet: an interpreted HOF (transform) in
+    // the same projection would knock the whole operator out of codegen —
+    // the very overhead the native expression exists to avoid
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    spark
+      .range(4)
+      .select(
+        col("id"),
+        when(col("id") =!= 1, transform(sequence(lit(0), lit(3)), d => d.cast("double") + col("id"))).as("a"),
+        transform(sequence(lit(0), lit(3)), d => d.cast("double") * 2).as("b")
+      )
+      .write.parquet(s"$dir/v")
+    val df = spark.read.parquet(s"$dir/v")
+    val out = df.select(col("id"), VectorExpressions.dot(col("a"), col("b")).as("d")).orderBy("id")
+    val got = out.collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    // id=k: a=[k,k+1,k+2,k+3], b=[0,2,4,6] → dot = 2(k+1)+4(k+2)+6(k+3) = 12k+28
+    assert(got == Seq(28.0, null, 52.0, 64.0), got.toString)
+    // the '*(n)' prefix marks a WholeStageCodegen span in the plan string —
+    // the projection computing dot_product must carry it (an interpreted
+    // CodegenFallback expression would strip it)
+    val p = out.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined, s"dot_product not codegen'd:\n$p")
+  }
+}
