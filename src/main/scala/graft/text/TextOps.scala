@@ -210,6 +210,10 @@ object TextOps {
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so Σlabel strictly decreases until the fix
+    // point — a single aggregate per iteration detects convergence (cheaper
+    // than a changed-rows join)
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -221,11 +225,9 @@ object TextOps {
         .join(prop, Seq("id"), "left_outer")
         .select(col("id"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next
-        .withColumnRenamed("label", "_new")
-        .join(labels, Seq("id"))
-        .where(col("_new") =!= col("label"))
-        .isEmpty
+      val s = next.agg(sum("label")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

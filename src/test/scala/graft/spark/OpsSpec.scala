@@ -135,4 +135,17 @@ class OpsSpec extends SparkTestBase {
     assert(vals(graft.model.GapFillMode.Locf) == Seq(10.0, 10.0, 10.0, 10.0, 18.0))
     assert(vals(graft.model.GapFillMode.Linear) == Seq(10.0, 12.0, 14.0, 16.0, 18.0))
   }
+
+  test("dedupGroups: connected components over pair graph") {
+    val s = spark
+    import s.implicits._
+    // components: chain 1-2-3, pair 10-11, triangle 20-21-22 (+cross edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val groups = TextOps.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(groups.view.mapValues(_._1).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(groups.filter(_._2._2).keySet == Set(1L, 10L, 20L), "keep = component min")
+  }
 }
