@@ -134,6 +134,42 @@ final class TableStore(base: String, table: String) {
     snap
   }
 
+  /** Small-file compaction: rewrite one partition's data files into
+    * `targetFiles` (streaming/foreachBatch appends accumulate one file per
+    * micro-batch per task — at 100 TB that's a scan-planning and NameNode/
+    * listing tax). Content-identical by construction; the new snapshot
+    * carries a freshly computed manifest entry for the partition (hash must
+    * equal the parent's — the spec asserts it) and inherits everything else.
+    */
+  def compactPartition(spark: SparkSession, partitionCol: String, partition: String, targetFiles: Int = 1): Snapshot = {
+    val partDir = Paths.get(s"$dataDir/$partitionCol=$partition")
+    require(Files.isDirectory(partDir), s"no partition $partitionCol=$partition")
+    val tmp = Paths.get(s"$base/$table/.compact_$partition")
+    deleteRecursively(tmp)
+    spark.read
+      .parquet(partDir.toString)
+      .coalesce(targetFiles)
+      .write
+      .parquet(tmp.toString)
+    deleteRecursively(partDir)
+    Files.move(tmp, partDir)
+
+    val fresh = hashPartitions(
+      spark.read.option("basePath", dataDir).parquet(partDir.toString),
+      partitionCol
+    )
+    val parentSnap = currentSnapshot
+    val inherited = parentSnap.map(_.partitions.filterNot(_.partition == partition)).getOrElse(Seq.empty)
+    writeSnapshot(parentSnap, parentSnap.map(_.inputSnapshot).getOrElse("compaction"), (inherited ++ fresh).sortBy(_.partition))
+  }
+
+  /** data-file count for one partition (compaction targeting/observability) */
+  def partitionFileCount(partitionCol: String, partition: String): Int = {
+    val d = Paths.get(s"$dataDir/$partitionCol=$partition")
+    if (!Files.isDirectory(d)) 0
+    else Files.list(d).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** TTL demotion: drop data partitions older than `cutoff` (the coarser
     * tier covering them must have been built first — caller's contract).
     * Records a new snapshot without the dropped partitions.

@@ -98,6 +98,25 @@ class TierBuilderSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("compaction: fewer files, identical content hash, new snapshot") {
+    import spark.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val df = (0 until 5000).map(i => (s"2024-02-%02d".format(i % 3 + 1), i.toLong)).toDF("day", "v")
+    val snap1 = store.write(df.repartition(8), "day", "in-v1")
+    val target = "2024-02-02"
+    assert(store.partitionFileCount("day", target) > 1, "need multiple files to compact")
+    val before = snap1.partitions.find(_.partition == target).get
+
+    val snap2 = store.compactPartition(spark, "day", target, targetFiles = 1)
+    assert(store.partitionFileCount("day", target) == 1)
+    val after = snap2.partitions.find(_.partition == target).get
+    assert(after == before, "compaction must be content-identical (rows + hash)")
+    assert(snap2.partitions.filterNot(_.partition == target) == snap1.partitions.filterNot(_.partition == target))
+    assert(snap2.snapshotId == snap1.snapshotId + 1 && snap2.parentId == snap1.snapshotId)
+    assert(store.read(spark).count() == 5000)
+  }
+
   test("ManifestJson roundtrips quotes and backslashes") {
     val snap = Snapshot(7, 6, """in"put\v1""", Seq(PartitionManifest("""p"art\1""", 5L, -42L)))
     assert(ManifestJson.parse(ManifestJson.render(snap)) == snap)
