@@ -491,6 +491,20 @@ object SparkEntry {
         .dedupGroups(TextOps.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05, maxShingleDf = 20))
         .select(col("id"), col("group_id"), col("keep"))),
 
+    // A12 analog: OLS-with-intercept forecast, OpenForecast accuracy gates,
+    // bounds ŷ ± 1.5σ over hourly event sums
+    "q40_mlr_flags" -> ((s, dir) =>
+      ColumnAnalyzers
+        .mlrFlags(SeriesOps.withSplitAndStats(eventPoints(s, dir, 3600), 10))
+        .select(
+          col("scope"),
+          col("bucket"),
+          round(col("value"), 2).as("val"),
+          round(col("lb"), 2).as("lb"),
+          round(col("rb"), 2).as("rb"),
+          col("is_outlier")
+        )),
+
     // A3 analog: log-normal z-score band over converted daily count series
     // (outlier rows carry the converted value — reference quirk)
     "q38_lognormal_flags" -> ((s, dir) =>
@@ -754,6 +768,34 @@ object SparkEntry {
       s"""SELECT event_type AS scope, ${duckBucket(3600)} AS bucket,
          |  round(sum(CASE WHEN value < 5.562684646268003e-309 THEN 0.0 ELSE log10(value) END), 4) AS val
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q40_mlr_flags" ->
+      s"""$duckSplitStats,
+         |fit AS (SELECT scope,
+         |  covar_pop(CASE WHEN rn <= train_n THEN CAST(bucket AS DOUBLE) END,
+         |            CASE WHEN rn <= train_n THEN value END) /
+         |  var_pop(CASE WHEN rn <= train_n THEN CAST(bucket AS DOUBLE) END) AS slope,
+         |  avg(CASE WHEN rn <= train_n THEN value END) AS ybar,
+         |  avg(CASE WHEN rn <= train_n THEN CAST(bucket AS DOUBLE) END) AS xbar
+         |  FROM tr GROUP BY scope),
+         |fit2 AS (SELECT scope, slope, ybar - slope*xbar AS intercept FROM fit),
+         |acc AS (SELECT t.scope,
+         |  avg(pow(f.intercept + f.slope*t.bucket - t.value, 2)) AS mse,
+         |  avg(abs(f.intercept + f.slope*t.bucket - t.value)) AS mad,
+         |  sum(pow(t.value - s.train_avg, 2)) AS tsos
+         |  FROM tr t JOIN fit2 f ON t.scope = f.scope JOIN stats s ON t.scope = s.scope
+         |  WHERE t.rn <= t.train_n GROUP BY 1),
+         |gated AS (SELECT f.scope, f.slope, f.intercept
+         |  FROM fit2 f JOIN acc a ON f.scope = a.scope JOIN stats s ON f.scope = s.scope
+         |  WHERE NOT (a.mse / a.tsos > 0.02 AND a.tsos > 0)
+         |    AND NOT (s.train_stddev > 0 AND a.mad > s.train_stddev)
+         |    AND NOT (a.mad > s.train_avg))
+         |SELECT t.scope, t.bucket, round(t.value, 2) AS val,
+         |  round(g.intercept + g.slope*t.bucket - s.train_stddev*1.5, 2) AS lb,
+         |  round(g.intercept + g.slope*t.bucket + s.train_stddev*1.5, 2) AS rb,
+         |  (t.value < g.intercept + g.slope*t.bucket - s.train_stddev*1.5
+         |   OR t.value > g.intercept + g.slope*t.bucket + s.train_stddev*1.5) AS is_outlier
+         |FROM tr t JOIN gated g ON t.scope = g.scope JOIN stats s ON t.scope = s.scope
+         |WHERE t.rn > t.train_n""".stripMargin,
     "q39_dedup_groups" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -328,6 +328,71 @@ object ColumnAnalyzers {
       .select("scope", "metric", "slope", "intercept", "mse", "n_buckets", "reliable")
   }
 
+  /** A12 analog (`MultipleLinearRegressionTimeserieAnalyzer.java:13-96` with
+    * the single regressor {ts}): OLS with intercept over train points, then
+    * the OpenForecast accuracy gates — relMse = MSE/TSS ≤ 0.02 (MSE = mean
+    * squared train residual, TSS = Σ(v−avg)², the reference's mean/sum unit
+    * mix preserved), MAD ≤ σ when σ>0, MAD ≤ avg — and classify bounds
+    * ŷ ± 1.5·σ_train. Two aggregate passes: fit, then residual stats over
+    * the train rows; both tiny per series → broadcast to classify.
+    */
+  def mlrFlags(withStats: DataFrame): DataFrame = {
+    val fit = mlrFit(withStats).where(col("reliable")).select("scope", "metric", "slope", "intercept")
+    val expected = col("intercept") + col("slope") * col("bucket").cast("double")
+    val maxErr = col("train_stddev") * 1.5
+    withStats
+      .where(!col("is_train"))
+      .join(broadcast(fit), Seq("scope", "metric"))
+      .select(
+        col("scope"),
+        col("metric"),
+        col("bucket"),
+        col("value"),
+        expected.as("expected"),
+        (expected - maxErr).as("lb"),
+        (expected + maxErr).as("rb"),
+        (col("value") < expected - maxErr || col("value") > expected + maxErr).as("is_outlier")
+      )
+      .where(notSuppressed)
+  }
+
+  /** A12's per-series fit + gate columns (exposed for the driver oracle) */
+  def mlrFit(withStats: DataFrame): DataFrame = {
+    val db = when(col("is_train"), col("bucket").cast("double"))
+    val dv = when(col("is_train"), col("value"))
+    val fit = withStats
+      .groupBy("scope", "metric")
+      .agg(
+        safeDiv(covar_pop(db, dv), var_pop(db)).as("slope"),
+        avg(dv).as("_ybar"),
+        avg(db).as("_xbar"),
+        first("train_avg").as("_tavg"),
+        first("train_stddev").as("_tsd")
+      )
+      .withColumn("intercept", col("_ybar") - col("slope") * col("_xbar"))
+    val resid = col("intercept") + col("slope") * col("bucket").cast("double") - col("value")
+    withStats
+      .where(col("is_train"))
+      .join(broadcast(fit), Seq("scope", "metric"))
+      .groupBy("scope", "metric")
+      .agg(
+        first("slope").as("slope"),
+        first("intercept").as("intercept"),
+        avg(resid * resid).as("mse"),
+        avg(abs(resid)).as("mad"),
+        sum(pow(col("value") - col("train_avg"), 2.0)).as("tsos"),
+        first("train_avg").as("_avg"),
+        first("train_stddev").as("_sd")
+      )
+      .withColumn(
+        "reliable",
+        !(safeDiv(col("mse"), col("tsos")) > 0.02 && col("tsos") > 0.0) &&
+          !(col("_sd") > 0.0 && col("mad") > col("_sd")) &&
+          !(col("mad") > col("_avg"))
+      )
+      .select("scope", "metric", "slope", "intercept", "mse", "mad", "tsos", "reliable")
+  }
+
   /** V2+V3 analog at scale: net score per (scope, bucket) across flag frames
     * — outliers add 3 + magnitude (ln-ratio clamped to [0,3],
     * `TimeserieOutlier.java:56-73`), inliers subtract 1.

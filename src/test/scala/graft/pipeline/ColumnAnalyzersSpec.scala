@@ -142,6 +142,30 @@ class ColumnAnalyzersSpec extends SparkTestBase {
     assert(flags.count(!_._2) > 0, "pattern-following classify points are inliers")
   }
 
+  test("mlr scale path matches kernel flags on a stable linear series") {
+    val base = (0 until 40).map(i => (i * 60L, 50.0 + 0.5 * i + (i % 3)))
+    val classify = Seq((2400L, 70.0), (2460L, 500.0), (2520L, 71.0))
+    val pts = base ++ classify
+    val processed = ScopePipeline.process(
+      Map("m" -> pts.map { case (b, v) => Pt(b, v) }),
+      EngineConfig(resolution = 60, forecastPeriods = 3, autoRollup = false)
+    )
+    val kernel = AnalyzerRegistry.all
+      .find(_.name == "MultipleLinearRegression")
+      .get
+      .analyze("s1", processed.series.values)
+      .map(f => f.ts -> f.isOutlier)
+      .toMap
+    val scale = ColumnAnalyzers
+      .mlrFlags(SeriesOps.withSplitAndStats(series("m", pts), 3))
+      .select("bucket", "is_outlier")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(scale == kernel, s"scale $scale vs kernel $kernel")
+    assert(scale(2460L), "the spike is an outlier on both paths")
+  }
+
   test("expected-errors report: rebucket, dedupe, found/not-found, net score") {
     val s = spark
     import s.implicits._
