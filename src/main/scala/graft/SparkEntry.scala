@@ -505,6 +505,34 @@ object SparkEntry {
           col("is_outlier")
         )),
 
+    // S1 compat source: reference TSV → series long rows → bucket-sum
+    // (fixture path is fixed; the oracle reads the same file via read_csv)
+    "q41_tsv_source" -> ((s, dir) =>
+      SeriesOps
+        .bucketSum(
+          graft.sources.TsvSource.readSeries(s, "/root/reference/src/main/resources/testdata/real_test_4.tsv"),
+          60
+        )
+        .select(col("scope"), col("metric"), col("bucket"), round(col("value"), 2).as("val"))),
+
+    // S2: .errors sidecar → expected outlier timestamps
+    "q42_errors_sidecar" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.TsvSource
+        .readExpectedErrors(s, "/root/reference/src/main/resources/testdata/real_test_3.tsv")
+        .toDF("ts")
+    }),
+
+    // S3: .settings sidecar → flat key/value map (wired to EngineConfig via
+    // EngineConfig.fromSettings)
+    "q43_settings_sidecar" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.TsvSource
+        .readSettings(s, "/root/reference/src/main/resources/testdata/real_test_2.tsv")
+        .toSeq
+        .toDF("key", "value")
+    }),
+
     // A3 analog: log-normal z-score band over converted daily count series
     // (outlier rows carry the converted value — reference quirk)
     "q38_lognormal_flags" -> ((s, dir) =>
@@ -768,6 +796,18 @@ object SparkEntry {
       s"""SELECT event_type AS scope, ${duckBucket(3600)} AS bucket,
          |  round(sum(CASE WHEN value < 5.562684646268003e-309 THEN 0.0 ELSE log10(value) END), 4) AS val
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q41_tsv_source" ->
+      """WITH raw AS (SELECT * FROM read_csv('/root/reference/src/main/resources/testdata/real_test_4.tsv', delim='\t', header=true)),
+        |long AS (
+        |  SELECT 'real_test_4.tsv' AS scope, 'regular' AS metric, ts, CAST(regular AS DOUBLE) AS value FROM raw
+        |  UNION ALL
+        |  SELECT 'real_test_4.tsv', 'error', ts, CAST(error AS DOUBLE) FROM raw)
+        |SELECT scope, metric, (ts - ts % 60) AS bucket, round(sum(value), 2) AS val
+        |FROM long GROUP BY 1, 2, 3""".stripMargin,
+    "q42_errors_sidecar" ->
+      "SELECT unnest(errors) AS ts FROM read_json('/root/reference/src/main/resources/testdata/real_test_3.tsv.errors')",
+    "q43_settings_sidecar" ->
+      "SELECT 'rollup' AS key, CAST(rollup AS VARCHAR) AS value FROM read_json('/root/reference/src/main/resources/testdata/real_test_2.tsv.settings')",
     "q40_mlr_flags" ->
       s"""$duckSplitStats,
          |fit AS (SELECT scope,
