@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped table format, offline realization (no Iceberg runtime in
@@ -10,11 +10,20 @@ import scala.jdk.CollectionConverters._
   * own manifest/snapshot JSON giving the north_rule's per-partition
   * checkpoint manifests with lineage + row counts + content hashes. The
   * interface is kept at Iceberg granularity (scan / append / overwrite
-  * partitions / snapshot ids) so an Iceberg binding can replace the offline
-  * implementation without touching callers.
+  * partitions / snapshot ids / time travel / expire) so an Iceberg binding
+  * can replace the offline implementation without touching callers.
+  *
+  * Round-2 upgrade — FILE-LEVEL manifests, append-only data files:
+  * a commit never deletes or overwrites a data file; each snapshot's
+  * manifest lists exactly the files that constitute every partition, and
+  * reads resolve through the manifest. That buys snapshot isolation
+  * (readers of snapshot k are immune to later commits), time travel
+  * (`read(spark, snapshotId)`), logical partition drops as pure metadata
+  * commits, and safe compaction; `expireSnapshots` reclaims files no kept
+  * snapshot references (exactly Iceberg's expire_snapshots).
   *
   * Layout:
-  *   <base>/<table>/data/<part>=<v>/part-*.parquet   (dynamic overwrite)
+  *   <base>/<table>/data/<part>=<v>/s<snapshotId>-<task-file>.parquet
   *   <base>/<table>/_manifests/snapshot-<k>.json
   *
   * Content hash per partition = bit_xor(xxhash64(all columns)) — order- and
@@ -22,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * checkable without byte-comparing files (parquet task file names contain
   * fresh UUIDs by design).
   */
-final case class PartitionManifest(partition: String, rows: Long, contentHash: Long)
+final case class PartitionManifest(partition: String, rows: Long, contentHash: Long, files: Seq[String])
 
 final case class Snapshot(
     snapshotId: Long,
@@ -53,6 +62,8 @@ final class TableStore(base: String, table: String) {
 
   def currentSnapshot: Option[Snapshot] = snapshots.lastOption
 
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
   /** partitions already built from this input (resume = skip these) */
   def completedPartitions(inputSnapshot: String): Set[String] =
     currentSnapshot
@@ -62,13 +73,39 @@ final class TableStore(base: String, table: String) {
 
   // ---- IO --------------------------------------------------------------------
 
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(dataDir)
+  private def filePaths(s: Snapshot): Seq[String] =
+    s.partitions.flatMap(p => p.files.map(f => s"$dataDir/$f"))
 
-  /** Write df partitioned by `partitionCol` with dynamic partition overwrite
-    * (idempotent per-partition), then record a new snapshot whose manifest
-    * carries per-partition row counts + content hashes + input lineage.
-    * `onlyPartitions`, when set, restricts the write to those partitions
-    * (resume path: everything else is already on disk).
+  /** manifest-resolved scan of the current snapshot (snapshot isolation: a
+    * concurrent commit cannot change the file set this read sees). Falls
+    * back to a raw directory read when no snapshot exists (pre-manifest
+    * data) or the manifest predates file tracking.
+    */
+  def read(spark: SparkSession): DataFrame =
+    currentSnapshot match {
+      case Some(s) if s.partitions.nonEmpty && s.partitions.forall(_.files.nonEmpty) =>
+        readSnapshot(spark, s)
+      case _ => spark.read.parquet(dataDir)
+    }
+
+  /** time travel: scan the table exactly as of `snapshotId` */
+  def read(spark: SparkSession, snapshotId: Long): DataFrame =
+    readSnapshot(spark, snapshot(snapshotId).getOrElse(sys.error(s"no snapshot $snapshotId")))
+
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
+    val paths = filePaths(s)
+    require(paths.nonEmpty, s"snapshot ${s.snapshotId} lists no files")
+    spark.read.option("basePath", dataDir).parquet(paths: _*)
+  }
+
+  /** Write df partitioned by `partitionCol` as NEW data files (staged, then
+    * moved in with a snapshot-id prefix — existing files are never touched),
+    * then commit a snapshot whose manifest lists, per partition, the exact
+    * file set plus row count + content hash + input lineage. A rewritten
+    * partition's entry references only the new files; untouched partitions
+    * inherit the parent's entries verbatim — commit cost is O(delta), which
+    * is what Iceberg manifests are for. `onlyPartitions`, when set,
+    * restricts the write (resume path: everything else is already on disk).
     */
   def write(
       df: DataFrame,
@@ -82,41 +119,68 @@ final class TableStore(base: String, table: String) {
       case Some(_)                 => df.where(lit(false))
       case None                    => df
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(dataDir)
-
-    // INCREMENTAL manifest: hash only the partitions just written and merge
-    // the parent snapshot's entries for untouched ones. Re-scanning the full
-    // table per commit is O(table) — a scale-killer at 100 TB; dynamic
-    // overwrite leaves untouched partitions byte-identical, so their parent
-    // manifest entries remain valid (this is exactly what Iceberg manifests
-    // buy: commit cost proportional to the delta, not the table).
-    val writtenParts: Set[String] = onlyPartitions.getOrElse(
-      df.select(col(partitionCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
-    )
-    val fresh =
-      if (writtenParts.isEmpty) Seq.empty[PartitionManifest]
-      else {
-        val paths = writtenParts.toSeq.sorted.map(p => s"$dataDir/$partitionCol=$p")
-        hashPartitions(spark.read.option("basePath", dataDir).parquet(paths: _*), partitionCol)
-      }
     val parentSnap = currentSnapshot
+    val newId = parentSnap.map(_.snapshotId).getOrElse(-1L) + 1
+
+    // stage the write, then move task files into the partition dirs under a
+    // unique snapshot prefix (append-only: old snapshots keep their files)
+    val stage = Paths.get(s"$base/$table/.stage-$newId")
+    deleteRecursively(stage)
+    toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+    val moved: Map[String, Seq[String]] = moveStaged(stage, partitionCol, newId)
+    deleteRecursively(stage)
+
+    val fresh = hashFiles(spark, partitionCol, moved)
+    val writtenParts = moved.keySet
     val inherited = parentSnap
       .map(_.partitions.filterNot(p => writtenParts(p.partition)))
       .getOrElse(Seq.empty)
-    val manifest = (inherited ++ fresh).sortBy(_.partition)
-
-    writeSnapshot(parentSnap, inputSnapshot, manifest)
+    writeSnapshot(parentSnap, inputSnapshot, (inherited ++ fresh).sortBy(_.partition))
   }
 
-  /** per-partition (rows, content hash) for the given data only */
-  private def hashPartitions(onDisk: DataFrame, partitionCol: String): Seq[PartitionManifest] = {
+  /** stage/<part>=<v>/<file> → data/<part>=<v>/s<id>-<file>; returns
+    * partition value → relative file paths ("<part>=<v>/s<id>-<file>")
+    */
+  private def moveStaged(stage: Path, partitionCol: String, newId: Long): Map[String, Seq[String]] = {
+    if (!Files.isDirectory(stage)) return Map.empty
+    Files
+      .list(stage)
+      .iterator()
+      .asScala
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$partitionCol="))
+      .map { partDir =>
+        val dirName = partDir.getFileName.toString
+        val partValue = dirName.stripPrefix(s"$partitionCol=")
+        val target = Paths.get(s"$dataDir/$dirName")
+        Files.createDirectories(target)
+        val rels = Files
+          .list(partDir)
+          .iterator()
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val newName = f"s$newId%09d-${f.getFileName.toString}"
+            Files.move(f, target.resolve(newName))
+            s"$dirName/$newName"
+          }
+          .toSeq
+          .sorted
+        partValue -> rels
+      }
+      .toMap
+  }
+
+  /** per-partition (rows, content hash, files) over exactly the given files */
+  private def hashFiles(spark: SparkSession, partitionCol: String, files: Map[String, Seq[String]]): Seq[PartitionManifest] = {
+    if (files.isEmpty || files.values.forall(_.isEmpty)) return Seq.empty
+    val paths = files.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
+    val onDisk = spark.read.option("basePath", dataDir).parquet(paths: _*)
     val hashCols = onDisk.columns.sorted.map(col).toSeq
     onDisk
       .groupBy(col(partitionCol).cast("string").as("p"))
       .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("h"))
       .collect()
-      .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h")))
+      .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h"), files(r.getAs[String]("p"))))
       .sortBy(_.partition)
       .toSeq
   }
@@ -134,66 +198,88 @@ final class TableStore(base: String, table: String) {
     snap
   }
 
-  /** Small-file compaction: rewrite one partition's data files into
+  /** Small-file compaction: rewrite one partition's CURRENT file set into
     * `targetFiles` (streaming/foreachBatch appends accumulate one file per
-    * micro-batch per task — at 100 TB that's a scan-planning and NameNode/
-    * listing tax). Content-identical by construction; the new snapshot
-    * carries a freshly computed manifest entry for the partition (hash must
-    * equal the parent's — the spec asserts it) and inherits everything else.
+    * micro-batch per task — at 100 TB that's a scan-planning and listing
+    * tax). Content-identical by construction; the new snapshot's entry for
+    * the partition references only the compacted files, everything else is
+    * inherited, and the replaced files stay on disk for older snapshots
+    * until `expireSnapshots`.
     */
   def compactPartition(spark: SparkSession, partitionCol: String, partition: String, targetFiles: Int = 1): Snapshot = {
-    val partDir = Paths.get(s"$dataDir/$partitionCol=$partition")
-    require(Files.isDirectory(partDir), s"no partition $partitionCol=$partition")
-    val tmp = Paths.get(s"$base/$table/.compact_$partition")
-    deleteRecursively(tmp)
+    val parentSnap = currentSnapshot.getOrElse(sys.error("nothing to compact: no snapshot"))
+    val entry = parentSnap.partitions
+      .find(_.partition == partition)
+      .getOrElse(sys.error(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
+    val newId = parentSnap.snapshotId + 1
+
+    val stage = Paths.get(s"$base/$table/.stage-$newId")
+    deleteRecursively(stage)
     spark.read
-      .parquet(partDir.toString)
+      .option("basePath", dataDir)
+      .parquet(entry.files.map(f => s"$dataDir/$f"): _*)
       .coalesce(targetFiles)
       .write
-      .parquet(tmp.toString)
-    deleteRecursively(partDir)
-    Files.move(tmp, partDir)
+      .partitionBy(partitionCol)
+      .parquet(stage.toString)
+    val moved = moveStaged(stage, partitionCol, newId)
+    deleteRecursively(stage)
 
-    val fresh = hashPartitions(
-      spark.read.option("basePath", dataDir).parquet(partDir.toString),
-      partitionCol
-    )
-    val parentSnap = currentSnapshot
-    val inherited = parentSnap.map(_.partitions.filterNot(_.partition == partition)).getOrElse(Seq.empty)
-    writeSnapshot(parentSnap, parentSnap.map(_.inputSnapshot).getOrElse("compaction"), (inherited ++ fresh).sortBy(_.partition))
+    val fresh = hashFiles(spark, partitionCol, moved)
+    val inherited = parentSnap.partitions.filterNot(_.partition == partition)
+    writeSnapshot(Some(parentSnap), parentSnap.inputSnapshot, (inherited ++ fresh).sortBy(_.partition))
   }
 
-  /** data-file count for one partition (compaction targeting/observability) */
-  def partitionFileCount(partitionCol: String, partition: String): Int = {
-    val d = Paths.get(s"$dataDir/$partitionCol=$partition")
-    if (!Files.isDirectory(d)) 0
-    else Files.list(d).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-  }
+  /** data-file count of one partition in the CURRENT snapshot */
+  def partitionFileCount(partitionCol: String, partition: String): Int =
+    currentSnapshot.flatMap(_.partitions.find(_.partition == partition)).map(_.files.size).getOrElse {
+      val d = Paths.get(s"$dataDir/$partitionCol=$partition")
+      if (!Files.isDirectory(d)) 0
+      else Files.list(d).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    }
 
-  /** TTL demotion: drop data partitions older than `cutoff` (the coarser
-    * tier covering them must have been built first — caller's contract).
-    * Records a new snapshot without the dropped partitions.
+  /** TTL demotion: drop partitions older than `cutoff` (the coarser tier
+    * covering them must have been built first — caller's contract). A pure
+    * METADATA commit: the new manifest simply omits the dropped partitions;
+    * their files remain readable through older snapshots until expired.
     */
   def dropPartitionsOlderThan(spark: SparkSession, partitionCol: String, cutoff: String, inputSnapshot: String): Snapshot = {
-    val dir = Paths.get(dataDir)
-    if (Files.isDirectory(dir)) {
-      Files
-        .list(dir)
-        .iterator()
-        .asScala
-        .filter { p =>
-          val name = p.getFileName.toString
-          name.startsWith(s"$partitionCol=") && name.stripPrefix(s"$partitionCol=") < cutoff
-        }
-        .foreach(deleteRecursively)
-    }
-    // metadata-only commit: dropped partitions leave the survivors untouched,
-    // so the new manifest is the parent's entries filtered — no table scan.
     val parentSnap = currentSnapshot
     val manifest = parentSnap
       .map(_.partitions.filter(_.partition >= cutoff))
-      .getOrElse(hashPartitions(spark.read.parquet(dataDir), partitionCol))
+      .getOrElse(Seq.empty)
     writeSnapshot(parentSnap, inputSnapshot, manifest)
+  }
+
+  /** Physical cleanup (Iceberg expire_snapshots): keep the last `keepLast`
+    * snapshots, delete every data file referenced by no kept snapshot and
+    * the expired manifest JSONs. Returns the number of data files deleted.
+    */
+  def expireSnapshots(keepLast: Int = 1): Int = {
+    val all = snapshots
+    if (all.isEmpty) return 0
+    val kept = all.takeRight(math.max(1, keepLast))
+    val referenced = kept.flatMap(s => s.partitions.flatMap(_.files)).toSet
+    // delete expired manifests
+    for (s <- all.dropRight(math.max(1, keepLast)))
+      Files.deleteIfExists(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json"))
+    // delete unreferenced data files (only snapshot-prefixed files are
+    // manifest-tracked; leave any legacy files alone)
+    val dd = Paths.get(dataDir)
+    if (!Files.isDirectory(dd)) return 0
+    var deleted = 0
+    Files.list(dd).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
+      Files.list(partDir).iterator().asScala.foreach { f =>
+        val rel = s"${partDir.getFileName}/${f.getFileName}"
+        val name = f.getFileName.toString
+        if (name.startsWith("s") && name.endsWith(".parquet") && !referenced(rel)) {
+          Files.deleteIfExists(f)
+          deleted += 1
+        }
+      }
+      if (!Files.list(partDir).iterator().hasNext) Files.deleteIfExists(partDir)
+    }
+    deleted
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -208,7 +294,10 @@ final class TableStore(base: String, table: String) {
 object ManifestJson {
   def render(s: Snapshot): String = {
     val parts = s.partitions
-      .map(p => s"""{"p":${q(p.partition)},"rows":${p.rows},"hash":${p.contentHash}}""")
+      .map { p =>
+        val fs = p.files.map(q).mkString("[", ",", "]")
+        s"""{"p":${q(p.partition)},"rows":${p.rows},"hash":${p.contentHash},"files":$fs}"""
+      }
       .mkString("[", ",", "]")
     s"""{"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts}"""
   }
@@ -242,7 +331,19 @@ object ManifestJson {
       val (p, afterP) = stringAt(fieldPos("p", i))
       val rows = longAt(fieldPos("rows", afterP))
       val hashPos = fieldPos("hash", afterP)
-      parts += PartitionManifest(p, rows, longAt(hashPos))
+      // files array (absent in pre-file-tracking manifests → empty)
+      val nextP = json.indexOf("\"p\":", hashPos)
+      val filesKey = json.indexOf("\"files\":", hashPos)
+      val files = Seq.newBuilder[String]
+      if (filesKey >= 0 && (nextP < 0 || filesKey < nextP)) {
+        var j = filesKey + 9 // past "files":[
+        while (json.charAt(j) == '"') {
+          val (f, after) = stringAt(j)
+          files += f
+          j = if (json.charAt(after) == ',') after + 1 else after
+        }
+      }
+      parts += PartitionManifest(p, rows, longAt(hashPos), files.result())
       i = hashPos
     }
     Snapshot(id, parent, input, parts.result())

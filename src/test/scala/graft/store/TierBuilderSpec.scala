@@ -89,12 +89,15 @@ class TierBuilderSpec extends SparkTestBase {
       // write job reads df once (10k) + hash job reads the 1k-row partition;
       // the old code re-read all 10k rows on disk → >= 20k
       assert(readRecords.get() < 15000, s"manifest commit rescanned the table: read ${readRecords.get()} records")
-      // inherited entries identical to parent's; snapshot complete
+      // inherited entries identical to parent's (same FILES — untouched);
+      // the rewritten partition gets new files but identical rows + hash
       assert(snap2.partitions.size == 10)
       assert(snap2.partitions.filter(_.partition != "2024-01-03") ==
         snap1.partitions.filter(_.partition != "2024-01-03"))
-      assert(snap2.partitions.find(_.partition == "2024-01-03").get ==
-        snap1.partitions.find(_.partition == "2024-01-03").get) // idempotent rewrite, same content hash
+      val (b, a) = (snap1.partitions.find(_.partition == "2024-01-03").get,
+        snap2.partitions.find(_.partition == "2024-01-03").get)
+      assert(a.rows == b.rows && a.contentHash == b.contentHash, "idempotent rewrite")
+      assert(a.files != b.files && a.files.nonEmpty, "append-only: rewrite = new files")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -111,15 +114,46 @@ class TierBuilderSpec extends SparkTestBase {
     val snap2 = store.compactPartition(spark, "day", target, targetFiles = 1)
     assert(store.partitionFileCount("day", target) == 1)
     val after = snap2.partitions.find(_.partition == target).get
-    assert(after == before, "compaction must be content-identical (rows + hash)")
+    assert(after.rows == before.rows && after.contentHash == before.contentHash,
+      "compaction must be content-identical (rows + hash)")
+    assert(after.files.size == 1 && after.files != before.files)
+    // old files stay for snapshot 0's readers until expire reclaims them
+    assert(store.read(spark, snap1.snapshotId).count() == 5000)
+    assert(store.expireSnapshots(keepLast = 1) == before.files.size)
     assert(snap2.partitions.filterNot(_.partition == target) == snap1.partitions.filterNot(_.partition == target))
     assert(snap2.snapshotId == snap1.snapshotId + 1 && snap2.parentId == snap1.snapshotId)
     assert(store.read(spark).count() == 5000)
   }
 
-  test("ManifestJson roundtrips quotes and backslashes") {
-    val snap = Snapshot(7, 6, """in"put\v1""", Seq(PartitionManifest("""p"art\1""", 5L, -42L)))
+  test("ManifestJson roundtrips quotes, backslashes and file lists") {
+    val snap = Snapshot(
+      7,
+      6,
+      """in"put\v1""",
+      Seq(PartitionManifest("""p"art\1""", 5L, -42L, Seq("day=2024/s000000007-part-0.parquet", """we"ird\name""")))
+    )
     assert(ManifestJson.parse(ManifestJson.render(snap)) == snap)
+  }
+
+  test("time travel + expire: snapshots are isolated, expire reclaims files") {
+    import spark.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val df1 = (0 until 100).map(i => ("2024-01-01", i.toLong)).toDF("day", "v")
+    val s1 = store.write(df1, "day", "in-v1")
+    val df2 = (0 until 100).map(i => ("2024-01-01", i * 10L)).toDF("day", "v")
+    val s2 = store.write(df2, "day", "in-v2")
+    // current read sees the rewrite; time travel sees the original
+    assert(store.read(spark).agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 49500L)
+    assert(store.read(spark, s1.snapshotId).agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 4950L)
+    // logical TTL drop is metadata-only: old snapshot still readable
+    store.dropPartitionsOlderThan(spark, "day", "2024-02-01", "ttl")
+    assert(store.currentSnapshot.get.partitions.isEmpty)
+    assert(store.read(spark, s2.snapshotId).count() == 100)
+    // expire keeps only the latest snapshot → old files physically deleted
+    val deleted = store.expireSnapshots(keepLast = 1)
+    assert(deleted >= 2, s"deleted $deleted files")
+    assert(store.snapshots.size == 1)
   }
 
   test("salting spreads a hot key with CONSTANT values across buckets") {
