@@ -200,9 +200,12 @@ object TextOps {
     * large-star/small-star if components with huge diameter ever appear).
     */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // materialize the pair set ONCE — the two union branches below would
+    // otherwise re-execute the (potentially expensive) candidate-pair plan
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges
