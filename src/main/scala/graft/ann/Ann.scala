@@ -223,14 +223,16 @@ object Ann {
   ): DataFrame = {
     val dims = embDims(corpus)
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
-    var cRow = centroidRow(seeded, dims)
+    // localCheckpoint each round's centroid row (ONE tiny row): without it
+    // every later plan re-executes the whole chain of previous Lloyd passes
+    var cRow = centroidRow(seeded, dims).localCheckpoint()
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned, dims)
+      cRow = centroidRow(assigned, dims).localCheckpoint()
       it += 1
     }
 
