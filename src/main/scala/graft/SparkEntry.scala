@@ -296,8 +296,21 @@ object SparkEntry {
     "q21_ann_lsh" -> ((s, dir) => {
       val emb = embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6, nTables = 8)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6, nTables = 8, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // S4 programmatic source: string-API adds (incl. a duplicate-ts
+    // overwrite), bridged to the distributed path via toPoints → bucketSum
+    "q44_mutable_source" -> ((s, dir) => {
+      val src = new graft.api.MutableSeriesSource("api_scope")
+      for (i <- 1 until 50) src.addData("m1", 1700000000L + i * 60, i * 1.5)
+      src.addData("m1", (1700000000L).toString, "17.0") // string API
+      src.addData("m1", "1700000000", "42.5")           // duplicate ts → overwrite wins
+      for (i <- 0 until 30) src.addData("m2", 1700000000L + i * 120, 100.0 - i)
+      SeriesOps
+        .bucketSum(src.toPoints(s), 300L)
+        .select(col("scope"), col("metric"), col("bucket"), round(col("value"), 2).as("val"))
     }),
 
     // flagship: full 12-analyzer exact detection over event series
@@ -322,7 +335,7 @@ object SparkEntry {
       val emb = embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       graft.ann.Ann
-        .ivfTopK(emb, emb.where(col("vec_id") < 5), 10, nCells = 16, nProbe = 4)
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), 10, nCells = 16, nProbe = 4, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -332,7 +345,7 @@ object SparkEntry {
       val emb = embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
       graft.ann.Ann
-        .nearDupPairs(emb, minCosine = 0.4)
+        .nearDupPairs(emb, minCosine = 0.4, dims = 64)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }),
 
@@ -872,8 +885,33 @@ object SparkEntry {
          |   OR c.lv > s.lavg + greatest(s.lsd, s.lavg*0.05)) AS is_outlier
          |FROM conv c JOIN lstats s ON c.scope = s.scope
          |WHERE c.rn > c.train_n AND s.lsd <= s.lavg*0.05 AND s.lsd >= 5.562684646268003e-309""".stripMargin,
-    // q17-q19 (Spark-hash sketches), q20-q27 (float ANN / sequential
-    // analyzers / media stubs): rows-only driver checks; covered by
-    // ScalaTest suites.
+    // q20: brute-force cosine is deterministic double math — DuckDB's
+    // list_dot_product in the same dot/(√·√) shape matches bit-for-bit
+    // (verified mismatch-free at sf0.01 before landing)
+    "q20_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+        |      FROM q, e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+    // q44: S4 programmatic source — the oracle regenerates the same
+    // deterministic adds in SQL (VALUES-equivalent via generate_series),
+    // proving the addData/overwrite/toPoints bridge end-to-end
+    "q44_mutable_source" ->
+      """WITH m1 AS (SELECT 'api_scope' AS scope, 'm1' AS metric, 1700000000 + i*60 AS ts,
+        |              CASE WHEN i = 0 THEN 42.5 ELSE i * 1.5 END AS value
+        |            FROM unnest(generate_series(0, 49)) AS t(i)),
+        |m2 AS (SELECT 'api_scope' AS scope, 'm2' AS metric, 1700000000 + i*120 AS ts, 100.0 - i AS value
+        |       FROM unnest(generate_series(0, 29)) AS t(i)),
+        |pts AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+        |SELECT scope, metric, ts - ts % 300 AS bucket, round(sum(value), 2) AS val
+        |FROM pts GROUP BY 1, 2, 3""".stripMargin,
+    // q17-q19 (Spark-hash sketches), q21/q26/q27 (LSH/IVF ANN — Spark-seeded
+    // buckets), q22-q23 (sequential kernel analyzers), q24 (real-image +
+    // stub codec): rows-only driver checks; covered by ScalaTest suites.
   )
 }

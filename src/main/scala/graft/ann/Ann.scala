@@ -79,8 +79,13 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  private def embDims(df: DataFrame): Int =
-    df.select(size(col("embedding"))).head.getInt(0)
+  /** embedding dimensionality: the caller-supplied value when given (> 0),
+    * else inferred with a one-row Spark job — a hidden `.head` in a library
+    * entry point is three extra jobs per ANN call, so callers that know
+    * their dims (they almost always do) should pass them.
+    */
+  private def resolveDims(df: DataFrame, dims: Int): Int =
+    if (dims > 0) dims else df.select(size(col("embedding"))).head.getInt(0)
 
   /** (vec_id, embedding, t, b) rows for all tables, with a per-(t, b)
     * hot-bucket cap: a bucket of B rows would emit B² join rows; beyond
@@ -113,9 +118,10 @@ object Ann {
       minCosine: Double,
       nPlanes: Int = 6,
       nTables: Int = 6,
-      maxBucketSize: Int = 1024
+      maxBucketSize: Int = 1024,
+      dims: Int = 0
   ): DataFrame = {
-    val bucketed = bucketedCapped(corpus, nPlanes, nTables, embDims(corpus), maxBucketSize)
+    val bucketed = bucketedCapped(corpus, nPlanes, nTables, resolveDims(corpus, dims), maxBucketSize)
     bucketed
       .as("a")
       .join(
@@ -144,12 +150,13 @@ object Ann {
       k: Int,
       nPlanes: Int = 8,
       nTables: Int = 8,
-      maxBucketSize: Int = 4096
+      maxBucketSize: Int = 4096,
+      dims: Int = 0
   ): DataFrame = {
-    val dims = embDims(corpus)
-    val c = bucketedCapped(corpus, nPlanes, nTables, dims, maxBucketSize)
+    val dims0 = resolveDims(corpus, dims)
+    val c = bucketedCapped(corpus, nPlanes, nTables, dims0, maxBucketSize)
     val qtables = array(
-      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes, dims).as("b"))): _*
+      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes, dims0).as("b"))): _*
     )
     val q = broadcast(
       queries
@@ -219,20 +226,21 @@ object Ann {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      lloydIters: Int = 2
+      lloydIters: Int = 2,
+      dims: Int = 0
   ): DataFrame = {
-    val dims = embDims(corpus)
+    val dims0 = resolveDims(corpus, dims)
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
     // localCheckpoint each round's centroid row (ONE tiny row): without it
     // every later plan re-executes the whole chain of previous Lloyd passes
-    var cRow = centroidRow(seeded, dims).localCheckpoint()
+    var cRow = centroidRow(seeded, dims0).localCheckpoint()
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned, dims).localCheckpoint()
+      cRow = centroidRow(assigned, dims0).localCheckpoint()
       it += 1
     }
 

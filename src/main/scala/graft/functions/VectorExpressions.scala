@@ -4,9 +4,10 @@ import org.apache.spark.sql.Column
 
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the ANN hot path. The composable
   * formulation — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — runs the
@@ -22,10 +23,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 final case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
-  // callers pass ARRAY<DOUBLE> (ExpectsInputTypes' AbstractDataType is
-  // private[sql] in Spark 4; call sites in graft.ann guarantee the type)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  // These are registered as user-facing SQL functions (GraftExtensions), so
+  // the type contract must be an analysis error, not runtime garbage:
+  // ArrayData.getDouble on a non-double buffer returns junk silently.
+  // (ExpectsInputTypes' AbstractDataType is private[sql] in Spark 4;
+  // checkInputDataTypes itself is public, so enforce here.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -66,6 +73,9 @@ final case class SquaredNorm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "squared_norm"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, child.dataType)
+
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     var acc = 0.0
@@ -101,6 +111,15 @@ final case class SquaredNorm(child: Expression)
 }
 
 object VectorExpressions {
+  private[functions] def requireDoubleArrays(fn: String, types: DataType*): TypeCheckResult = {
+    val bad = types.zipWithIndex.collect {
+      case (t, i) if t != ArrayType(DoubleType, true) && t != ArrayType(DoubleType, false) =>
+        s"argument ${i + 1} is ${t.simpleString}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn requires array<double> inputs; ${bad.mkString(", ")}")
+  }
+
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def squaredNorm(a: Column): Column =

@@ -399,8 +399,11 @@ object ColumnAnalyzers {
     */
   def score(flagFrames: Seq[DataFrame], minScore: Double = 1.0): DataFrame = {
     val all = flagFrames.reduce(_.unionByName(_))
-    val crossed = when(col("value") < col("lb"), abs((col("lb") - col("value")) / col("lb")))
-      .otherwise(abs((col("rb") - col("value")) / col("rb")))
+    // safeDiv: a zero bound would throw under ANSI; the kernel maps the
+    // resulting Inf/NaN magnitude to 0 (SeriesKernel.scala:244), and null
+    // rides through log→coalesce to the same 0.
+    val crossed = when(col("value") < col("lb"), abs(safeDiv(col("lb") - col("value"), col("lb"))))
+      .otherwise(abs(safeDiv(col("rb") - col("value"), col("rb"))))
     val mag = least(greatest(coalesce(log(crossed), lit(0.0)), lit(0.0)), lit(3.0))
     all
       .withColumn("_contrib", when(col("is_outlier"), lit(3.0) + mag).otherwise(lit(-1.0)))
@@ -432,8 +435,9 @@ object ColumnAnalyzers {
       inlierScore: Double = 1.0
   ): DataFrame = {
     val all = flagFrames.reduce(_.unionByName(_))
-    val crossed = when(col("value") < col("lb"), abs((col("lb") - col("value")) / col("lb")))
-      .otherwise(abs((col("rb") - col("value")) / col("rb")))
+    // same zero-bound guard as score(): ANSI-safe, kernel-equivalent (Inf/NaN → 0)
+    val crossed = when(col("value") < col("lb"), abs(safeDiv(col("lb") - col("value"), col("lb"))))
+      .otherwise(abs(safeDiv(col("rb") - col("value"), col("rb"))))
     val mag = least(greatest(coalesce(nanvl(log(crossed), lit(0.0)), lit(0.0)), lit(0.0)), lit(outlierScore))
     val perBucket = all
       .withColumn(

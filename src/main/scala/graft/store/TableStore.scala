@@ -2,7 +2,8 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped table format, offline realization (no Iceberg runtime in
@@ -13,18 +14,29 @@ import scala.jdk.CollectionConverters._
   * partitions / snapshot ids / time travel / expire) so an Iceberg binding
   * can replace the offline implementation without touching callers.
   *
-  * Round-2 upgrade — FILE-LEVEL manifests, append-only data files:
-  * a commit never deletes or overwrites a data file; each snapshot's
-  * manifest lists exactly the files that constitute every partition, and
-  * reads resolve through the manifest. That buys snapshot isolation
-  * (readers of snapshot k are immune to later commits), time travel
-  * (`read(spark, snapshotId)`), logical partition drops as pure metadata
-  * commits, and safe compaction; `expireSnapshots` reclaims files no kept
-  * snapshot references (exactly Iceberg's expire_snapshots).
+  * FILE-LEVEL manifests, append-only data files: a commit never deletes or
+  * overwrites a data file; each snapshot's manifest lists exactly the files
+  * that constitute every partition, and reads resolve through the manifest.
+  * That buys snapshot isolation (readers of snapshot k are immune to later
+  * commits), time travel (`read(spark, snapshotId)`), logical partition
+  * drops as pure metadata commits, and safe compaction; `expireSnapshots`
+  * reclaims files no kept snapshot references (Iceberg's expire_snapshots).
+  *
+  * Commits are ATOMIC with optimistic concurrency (Iceberg's CAS model,
+  * realized on a filesystem via `CREATE_NEW`): the snapshot JSON is the
+  * commit point; on `FileAlreadyExistsException` the committer re-reads the
+  * new parent, re-merges its fresh entries against it, and retries. Data
+  * files written by the loser are never orphaned — they are re-manifested
+  * under the retried snapshot id.
   *
   * Layout:
   *   <base>/<table>/data/<part>=<v>/s<snapshotId>-<task-file>.parquet
   *   <base>/<table>/_manifests/snapshot-<k>.json
+  *
+  * Manifest partition keys are the RAW (unescaped) partition values; the
+  * on-disk directory names use Hive path escaping (Spark's writer does this
+  * for space/colon/etc and renders null as __HIVE_DEFAULT_PARTITION__), so
+  * every dir-name ↔ value crossing goes through ExternalCatalogUtils.
   *
   * Content hash per partition = bit_xor(xxhash64(all columns)) — order- and
   * partitioning-insensitive, so "rebuild produced identical content" is
@@ -45,18 +57,24 @@ final class TableStore(base: String, table: String) {
   private def dataDir = s"$base/$table/data"
   private def manifestDir = Paths.get(s"$base/$table/_manifests")
 
+  /** run `f` over a directory listing, always closing the stream (a bare
+    * `Files.list` leaks the directory fd until GC — fatal on a long-lived
+    * driver doing thousands of commits/compactions).
+    */
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala)
+    finally s.close()
+  }
+
   // ---- snapshot bookkeeping -------------------------------------------------
 
   def snapshots: Seq[Snapshot] =
     if (!Files.isDirectory(manifestDir)) Seq.empty
     else
-      Files
-        .list(manifestDir)
-        .iterator()
-        .asScala
-        .filter(_.getFileName.toString.startsWith("snapshot-"))
-        .toSeq
-        .sortBy(_.getFileName.toString)
+      listDir(manifestDir)(
+        _.filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
+      ).sortBy(_.getFileName.toString)
         .map(p => ManifestJson.parse(Files.readString(p)))
         .sortBy(_.snapshotId)
 
@@ -73,28 +91,70 @@ final class TableStore(base: String, table: String) {
 
   // ---- IO --------------------------------------------------------------------
 
-  private def filePaths(s: Snapshot): Seq[String] =
-    s.partitions.flatMap(p => p.files.map(f => s"$dataDir/$f"))
+  /** manifest entry → concrete scan paths. File-tracked entries resolve to
+    * their exact file set; legacy (pre-file-tracking) entries resolve to the
+    * single partition DIRECTORY they were committed for — never the whole
+    * dataDir, which under the append-only layout holds files from ALL
+    * snapshots and would double-count rewritten partitions.
+    */
+  private def entryPaths(p: PartitionManifest): Seq[String] =
+    if (p.files.nonEmpty) p.files.map(f => s"$dataDir/$f")
+    else legacyPartitionDir(p.partition).toSeq
+
+  /** locate the on-disk directory for a legacy manifest entry: the dir whose
+    * escaped `<col>=<v>` suffix unescapes to the raw partition value.
+    */
+  private def legacyPartitionDir(partition: String): Option[String] = {
+    val dd = Paths.get(dataDir)
+    if (!Files.isDirectory(dd)) None
+    else
+      listDir(dd)(
+        _.filter(Files.isDirectory(_))
+          .find { d =>
+            val name = d.getFileName.toString
+            val eq = name.indexOf('=')
+            eq >= 0 && ExternalCatalogUtils.unescapePathName(name.substring(eq + 1)) == partition
+          }
+          .map(_.toString)
+      )
+  }
 
   /** manifest-resolved scan of the current snapshot (snapshot isolation: a
-    * concurrent commit cannot change the file set this read sees). Falls
-    * back to a raw directory read when no snapshot exists (pre-manifest
-    * data) or the manifest predates file tracking.
+    * concurrent commit cannot change the file set this read sees). An EMPTY
+    * current manifest (e.g. full TTL drop) is an empty table, not a raw
+    * scan; the raw `dataDir` fallback applies ONLY when no manifest exists
+    * at all (pre-manifest data laid down outside this store).
     */
   def read(spark: SparkSession): DataFrame =
     currentSnapshot match {
-      case Some(s) if s.partitions.nonEmpty && s.partitions.forall(_.files.nonEmpty) =>
-        readSnapshot(spark, s)
-      case _ => spark.read.parquet(dataDir)
+      case Some(s) if s.partitions.nonEmpty => readSnapshot(spark, s)
+      case Some(_)                          => emptyTable(spark)
+      case None                             => spark.read.parquet(dataDir)
     }
 
+  /** empty DataFrame with the table's schema, recovered from any file a past
+    * snapshot still references (or the raw dir as a last resort).
+    */
+  private def emptyTable(spark: SparkSession): DataFrame = {
+    val anyPaths = snapshots.reverseIterator
+      .map(s => s.partitions.flatMap(entryPaths))
+      .find(_.nonEmpty)
+    anyPaths match {
+      case Some(paths) => spark.read.option("basePath", dataDir).parquet(paths: _*).limit(0)
+      case None if Files.isDirectory(Paths.get(dataDir)) => spark.read.parquet(dataDir).limit(0)
+      case None => spark.emptyDataFrame
+    }
+  }
+
   /** time travel: scan the table exactly as of `snapshotId` */
-  def read(spark: SparkSession, snapshotId: Long): DataFrame =
-    readSnapshot(spark, snapshot(snapshotId).getOrElse(sys.error(s"no snapshot $snapshotId")))
+  def read(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val s = snapshot(snapshotId).getOrElse(sys.error(s"no snapshot $snapshotId"))
+    if (s.partitions.isEmpty) emptyTable(spark) else readSnapshot(spark, s)
+  }
 
   private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
-    val paths = filePaths(s)
-    require(paths.nonEmpty, s"snapshot ${s.snapshotId} lists no files")
+    val paths = s.partitions.flatMap(entryPaths)
+    require(paths.nonEmpty, s"snapshot ${s.snapshotId}: no resolvable data paths")
     spark.read.option("basePath", dataDir).parquet(paths: _*)
   }
 
@@ -119,55 +179,57 @@ final class TableStore(base: String, table: String) {
       case Some(_)                 => df.where(lit(false))
       case None                    => df
     }
-    val parentSnap = currentSnapshot
-    val newId = parentSnap.map(_.snapshotId).getOrElse(-1L) + 1
+    // the prospective snapshot id seeds the file-name prefix only (cosmetic
+    // lineage hint); the commit id is decided atomically at commit time
+    val provisionalId = currentSnapshot.map(_.snapshotId).getOrElse(-1L) + 1
 
     // stage the write, then move task files into the partition dirs under a
-    // unique snapshot prefix (append-only: old snapshots keep their files)
-    val stage = Paths.get(s"$base/$table/.stage-$newId")
-    deleteRecursively(stage)
+    // unique snapshot prefix (append-only: old snapshots keep their files).
+    // Stage dir carries a UUID so concurrent writers can never share one.
+    val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
     toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
-    val moved: Map[String, Seq[String]] = moveStaged(stage, partitionCol, newId)
+    val moved: Map[String, Seq[String]] = moveStaged(stage, partitionCol, provisionalId)
     deleteRecursively(stage)
 
     val fresh = hashFiles(spark, partitionCol, moved)
     val writtenParts = moved.keySet
-    val inherited = parentSnap
-      .map(_.partitions.filterNot(p => writtenParts(p.partition)))
-      .getOrElse(Seq.empty)
-    writeSnapshot(parentSnap, inputSnapshot, (inherited ++ fresh).sortBy(_.partition))
+    commit(
+      inputSnapshot,
+      parent => {
+        val inherited = parent
+          .map(_.partitions.filterNot(p => writtenParts(p.partition)))
+          .getOrElse(Seq.empty)
+        (inherited ++ fresh).sortBy(_.partition)
+      }
+    )
   }
 
-  /** stage/<part>=<v>/<file> → data/<part>=<v>/s<id>-<file>; returns
-    * partition value → relative file paths ("<part>=<v>/s<id>-<file>")
+  /** stage/<part>=<esc> /<file> → data/<part>=<esc>/s<id>-<file>; returns
+    * RAW partition value → relative file paths ("<part>=<esc>/s<id>-<file>").
     */
   private def moveStaged(stage: Path, partitionCol: String, newId: Long): Map[String, Seq[String]] = {
     if (!Files.isDirectory(stage)) return Map.empty
-    Files
-      .list(stage)
-      .iterator()
-      .asScala
-      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$partitionCol="))
-      .map { partDir =>
-        val dirName = partDir.getFileName.toString
-        val partValue = dirName.stripPrefix(s"$partitionCol=")
-        val target = Paths.get(s"$dataDir/$dirName")
-        Files.createDirectories(target)
-        val rels = Files
-          .list(partDir)
-          .iterator()
-          .asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
-            val newName = f"s$newId%09d-${f.getFileName.toString}"
-            Files.move(f, target.resolve(newName))
-            s"$dirName/$newName"
-          }
-          .toSeq
-          .sorted
-        partValue -> rels
-      }
-      .toMap
+    listDir(stage)(
+      _.filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$partitionCol="))
+        .map { partDir =>
+          val dirName = partDir.getFileName.toString
+          // dir names are Hive-escaped; manifests key by the raw value
+          val partValue = ExternalCatalogUtils.unescapePathName(dirName.stripPrefix(s"$partitionCol="))
+          val target = Paths.get(s"$dataDir/$dirName")
+          Files.createDirectories(target)
+          val rels = listDir(partDir)(
+            _.filter(_.getFileName.toString.endsWith(".parquet"))
+              .map { f =>
+                val newName = f"s$newId%09d-${f.getFileName.toString}"
+                Files.move(f, target.resolve(newName))
+                s"$dirName/$newName"
+              }
+              .toSeq
+          ).sorted
+          partValue -> rels
+        }
+        .toMap
+    )
   }
 
   /** per-partition (rows, content hash, files) over exactly the given files */
@@ -176,8 +238,11 @@ final class TableStore(base: String, table: String) {
     val paths = files.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
     val onDisk = spark.read.option("basePath", dataDir).parquet(paths: _*)
     val hashCols = onDisk.columns.sorted.map(col).toSeq
+    // null partition values land in __HIVE_DEFAULT_PARTITION__ on disk;
+    // key the manifest the same way so lookup and dir names agree
+    val pKey = coalesce(col(partitionCol).cast("string"), lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
     onDisk
-      .groupBy(col(partitionCol).cast("string").as("p"))
+      .groupBy(pKey.as("p"))
       .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("h"))
       .collect()
       .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h"), files(r.getAs[String]("p"))))
@@ -185,17 +250,31 @@ final class TableStore(base: String, table: String) {
       .toSeq
   }
 
-  private def writeSnapshot(parentSnap: Option[Snapshot], inputSnapshot: String, manifest: Seq[PartitionManifest]): Snapshot = {
-    val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
-    val snap = Snapshot(parent + 1, parent, inputSnapshot, manifest)
+  /** Atomic commit point (Iceberg CAS, filesystem realization): compute the
+    * manifest against the CURRENT parent via `merge`, then claim the next
+    * snapshot file with CREATE_NEW. If another committer claimed it first,
+    * re-read the new parent, re-merge, retry — both committers' data files
+    * survive in the final lineage.
+    */
+  private def commit(inputSnapshot: String, merge: Option[Snapshot] => Seq[PartitionManifest]): Snapshot = {
     Files.createDirectories(manifestDir)
-    Files.writeString(
-      manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json"),
-      ManifestJson.render(snap),
-      StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING
-    )
-    snap
+    var attempts = 0
+    while (attempts < 1000) {
+      val parentSnap = currentSnapshot
+      val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
+      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap))
+      try {
+        Files.writeString(
+          manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json"),
+          ManifestJson.render(snap),
+          StandardOpenOption.CREATE_NEW
+        )
+        return snap
+      } catch {
+        case _: FileAlreadyExistsException => attempts += 1 // lost the race; re-merge on new parent
+      }
+    }
+    sys.error(s"commit contention: gave up after $attempts attempts on $table")
   }
 
   /** Small-file compaction: rewrite one partition's CURRENT file set into
@@ -204,38 +283,49 @@ final class TableStore(base: String, table: String) {
     * tax). Content-identical by construction; the new snapshot's entry for
     * the partition references only the compacted files, everything else is
     * inherited, and the replaced files stay on disk for older snapshots
-    * until `expireSnapshots`.
+    * until `expireSnapshots`. If a concurrent commit rewrites the same
+    * partition between read and commit, the compaction ABORTS (its result
+    * no longer represents current content) — Iceberg's validation failure.
     */
   def compactPartition(spark: SparkSession, partitionCol: String, partition: String, targetFiles: Int = 1): Snapshot = {
     val parentSnap = currentSnapshot.getOrElse(sys.error("nothing to compact: no snapshot"))
     val entry = parentSnap.partitions
       .find(_.partition == partition)
       .getOrElse(sys.error(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
-    val newId = parentSnap.snapshotId + 1
+    val provisionalId = parentSnap.snapshotId + 1
 
-    val stage = Paths.get(s"$base/$table/.stage-$newId")
-    deleteRecursively(stage)
+    val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
     spark.read
       .option("basePath", dataDir)
-      .parquet(entry.files.map(f => s"$dataDir/$f"): _*)
+      .parquet(entryPaths(entry): _*)
       .coalesce(targetFiles)
       .write
       .partitionBy(partitionCol)
       .parquet(stage.toString)
-    val moved = moveStaged(stage, partitionCol, newId)
+    val moved = moveStaged(stage, partitionCol, provisionalId)
     deleteRecursively(stage)
 
     val fresh = hashFiles(spark, partitionCol, moved)
-    val inherited = parentSnap.partitions.filterNot(_.partition == partition)
-    writeSnapshot(Some(parentSnap), parentSnap.inputSnapshot, (inherited ++ fresh).sortBy(_.partition))
+    commit(
+      parentSnap.inputSnapshot,
+      parent => {
+        val nowEntry = parent.flatMap(_.partitions.find(_.partition == partition))
+        require(
+          nowEntry.exists(_.files == entry.files),
+          s"compaction of $table/$partition aborted: partition changed concurrently"
+        )
+        (parent.map(_.partitions.filterNot(_.partition == partition)).getOrElse(Seq.empty) ++ fresh)
+          .sortBy(_.partition)
+      }
+    )
   }
 
   /** data-file count of one partition in the CURRENT snapshot */
   def partitionFileCount(partitionCol: String, partition: String): Int =
     currentSnapshot.flatMap(_.partitions.find(_.partition == partition)).map(_.files.size).getOrElse {
-      val d = Paths.get(s"$dataDir/$partitionCol=$partition")
+      val d = Paths.get(s"$dataDir/$partitionCol=${ExternalCatalogUtils.escapePathName(partition)}")
       if (!Files.isDirectory(d)) 0
-      else Files.list(d).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      else listDir(d)(_.count(_.getFileName.toString.endsWith(".parquet")))
     }
 
   /** TTL demotion: drop partitions older than `cutoff` (the coarser tier
@@ -243,13 +333,8 @@ final class TableStore(base: String, table: String) {
     * METADATA commit: the new manifest simply omits the dropped partitions;
     * their files remain readable through older snapshots until expired.
     */
-  def dropPartitionsOlderThan(spark: SparkSession, partitionCol: String, cutoff: String, inputSnapshot: String): Snapshot = {
-    val parentSnap = currentSnapshot
-    val manifest = parentSnap
-      .map(_.partitions.filter(_.partition >= cutoff))
-      .getOrElse(Seq.empty)
-    writeSnapshot(parentSnap, inputSnapshot, manifest)
-  }
+  def dropPartitionsOlderThan(spark: SparkSession, partitionCol: String, cutoff: String, inputSnapshot: String): Snapshot =
+    commit(inputSnapshot, parent => parent.map(_.partitions.filter(_.partition >= cutoff)).getOrElse(Seq.empty))
 
   /** Physical cleanup (Iceberg expire_snapshots): keep the last `keepLast`
     * snapshots, delete every data file referenced by no kept snapshot and
@@ -268,8 +353,8 @@ final class TableStore(base: String, table: String) {
     val dd = Paths.get(dataDir)
     if (!Files.isDirectory(dd)) return 0
     var deleted = 0
-    Files.list(dd).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
-      Files.list(partDir).iterator().asScala.foreach { f =>
+    listDir(dd)(_.filter(Files.isDirectory(_)).toSeq).foreach { partDir =>
+      listDir(partDir)(_.toSeq).foreach { f =>
         val rel = s"${partDir.getFileName}/${f.getFileName}"
         val name = f.getFileName.toString
         if (name.startsWith("s") && name.endsWith(".parquet") && !referenced(rel)) {
@@ -277,13 +362,13 @@ final class TableStore(base: String, table: String) {
           deleted += 1
         }
       }
-      if (!Files.list(partDir).iterator().hasNext) Files.deleteIfExists(partDir)
+      if (listDir(partDir)(!_.hasNext)) Files.deleteIfExists(partDir)
     }
     deleted
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

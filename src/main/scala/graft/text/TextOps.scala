@@ -213,10 +213,10 @@ object TextOps {
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    // labels only ever decrease, so Σlabel strictly decreases until the fix
-    // point — a single aggregate per iteration detects convergence (cheaper
-    // than a changed-rows join)
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    // convergence = zero labels changed this round. Counting changed rows
+    // (label ≠ previous label, carried through the same projection) is
+    // overflow-proof — a Σlabel comparison can wrap Long at 100 TB id
+    // spaces — and costs one aggregate over the already-checkpointed frame.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -226,12 +226,14 @@ object TextOps {
         .agg(min("label").as("_nl"))
       val next = labels
         .join(prop, Seq("id"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          col("label").as("_prev"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label")
+        )
         .localCheckpoint()
-      val s = next.agg(sum("label")).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      converged = next.where(col("label") =!= col("_prev")).isEmpty
+      labels = next.select("id", "label")
       i += 1
     }
     labels

@@ -50,6 +50,24 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r == 32.0)
   }
 
+  test("non-double arrays are an ANALYSIS error, not silent garbage") {
+    val s = spark
+    import s.implicits._
+    // ArrayData.getDouble on an int buffer returns junk silently — the SQL
+    // surface must reject at analysis time via checkInputDataTypes
+    val df = Seq((Array(1, 2, 3), Array(4.0, 5.0, 6.0))).toDF("ai", "ad")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.dot(col("ai"), col("ai"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.squaredNorm(col("ai"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("array<double>"), e2.getMessage)
+    // valid double arrays still fine
+    assert(df.select(VectorExpressions.squaredNorm(col("ad"))).head.getDouble(0) == 77.0)
+  }
+
   test("null-safe and codegen'd") {
     val s = spark
     import s.implicits._

@@ -148,4 +148,15 @@ class OpsSpec extends SparkTestBase {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     assert(groups.filter(_._2._2).keySet == Set(1L, 10L, 20L), "keep = component min")
   }
+
+  test("dedupGroups converges on adversarial near-Long.Max ids (no Σ overflow)") {
+    val s = spark
+    import s.implicits._
+    // ids chosen so a Σlabel convergence check would wrap Long mid-iteration
+    val a = Long.MaxValue - 1; val b = Long.MaxValue - 2; val c = Long.MaxValue - 3
+    val pairs = Seq((a, b), (b, c), (5L, a)).toDF("doc_a", "doc_b")
+    val groups = TextOps.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(a -> 5L, b -> 5L, c -> 5L, 5L -> 5L))
+  }
 }

