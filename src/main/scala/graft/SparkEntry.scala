@@ -25,6 +25,20 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** deterministic multimodal corpus, materialized ONCE to parquet so q24/q25
+    * and the DuckDB oracle (read_parquet on the absolute path) see the SAME
+    * rows instead of re-synthesizing per engine.
+    */
+  private[graft] val mediaFixturePath: String =
+    java.nio.file.Paths.get("target/fixtures/media_corpus.parquet").toAbsolutePath.toString
+
+  private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
+    import s.implicits._
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mediaFixturePath, "_SUCCESS")))
+      graft.multimodal.MediaOps.syntheticMedia(s, 200).coalesce(1).write.mode("overwrite").parquet(mediaFixturePath)
+    s.read.parquet(mediaFixturePath).as[graft.multimodal.MediaOps.MediaDoc]
+  }
+
   /** events → long series points (scope = event_type, metric = "value") */
   private def eventPoints(s: SparkSession, dir: String, res: Long): DataFrame =
     SeriesOps.bucketSum(
@@ -300,6 +314,27 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // O11 at scale: exact distributed train sanitize. Deterministic spikes
+    // injected at (bucket/3600) % 500 == 0 guarantee real >6σ replacements
+    // (plain event sums rarely clear six sigma)
+    "q45_sanitize" -> ((s, dir) => {
+      val spiked = eventPoints(s, dir, 3600).withColumn(
+        "value",
+        col("value") +
+          when(pmod((col("bucket") / lit(3600L)).cast("long"), lit(500L)) === 0, col("value") * 10000).otherwise(lit(0.0))
+      )
+      SeriesOps
+        .withSanitizedTrain(SeriesOps.withSplitAndStats(spiked, 10))
+        .where(col("is_train"))
+        .select(
+          col("scope"),
+          col("bucket"),
+          round(col("value_san"), 4).as("val"),
+          col("was_replaced"),
+          round(col("san_avg"), 4).as("san_avg")
+        )
+    }),
+
     // S4 programmatic source: string-API adds (incl. a duplicate-ts
     // overwrite), bridged to the distributed path via toPoints → bucketSum
     "q44_mutable_source" -> ((s, dir) => {
@@ -349,20 +384,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }),
 
-    // multimodal: batched feature extraction over binary media columns
-    // (deterministic synthetic corpus; decode is a marked stub — rows-only)
+    // multimodal: batched feature extraction over binary media columns —
+    // REAL javax.imageio decode for image rows, marked stub for audio/video
+    // (pixel-space features aren't SQL-expressible → rows-only)
     "q24_media_features" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps
-        .toEmbeddings(MediaOps.extractFeatures(MediaOps.syntheticMedia(s, 200)))
+        .toEmbeddings(MediaOps.extractFeatures(mediaCorpus(s)))
         .select(col("vec_id"), round(element_at(col("embedding"), 1), 4).as("f0"), size(col("embedding")).as("dims"))
     }),
 
-    // multimodal: video frame sampling from duration metadata (rows-only)
+    // multimodal: video frame sampling from duration metadata, over the
+    // parquet-materialized corpus (frame arithmetic is pure SQL → oracled)
     "q25_frame_sample" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps
-        .sampleFrames(MediaOps.syntheticMedia(s, 200), everyMs = 5000)
+        .sampleFrames(mediaCorpus(s), everyMs = 5000)
         .toDF()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("bytes"))
@@ -898,6 +935,20 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+    // q25: frame sampling over the materialized media corpus — n/chunk/
+    // slice arithmetic (sampleFrames) re-expressed as integer SQL; oracle
+    // reads the SAME parquet rows Spark read
+    "q25_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id, octet_length(media) AS len, duration_ms
+        |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime LIKE 'video/%'),
+        |c AS (SELECT doc_id, len, greatest(duration_ms // 5000, 1) AS n,
+        |             greatest(len // greatest(duration_ms // 5000, 1), 1) AS chunk FROM v),
+        |f AS (SELECT doc_id,
+        |             least(i*chunk, greatest(len-1, 0)) AS fr,
+        |             least(least(i*chunk, greatest(len-1, 0)) + chunk, len) AS un
+        |      FROM c, unnest(generate_series(0, n-1)) AS t(i))
+        |SELECT doc_id, count(*) AS n_frames, CAST(sum(un - fr) AS BIGINT) AS bytes
+        |FROM f GROUP BY 1""".stripMargin,
     // q44: S4 programmatic source — the oracle regenerates the same
     // deterministic adds in SQL (VALUES-equivalent via generate_series),
     // proving the addData/overwrite/toPoints bridge end-to-end
@@ -910,6 +961,31 @@ object SparkEntry {
         |pts AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
         |SELECT scope, metric, ts - ts % 300 AS bucket, round(sum(value), 2) AS val
         |FROM pts GROUP BY 1, 2, 3""".stripMargin,
+    // q45: O11 sanitize — the "sequential" previous-kept recurrence depends
+    // only on in-bounds ORIGINAL values, so it is a pure window expression
+    // on both engines (no recursive CTE needed)
+    "q45_sanitize" ->
+      s"""WITH pts0 AS (${duckEventPoints(3600)}),
+        |pts AS (SELECT scope, bucket,
+        |          value + CASE WHEN (bucket // 3600) % 500 = 0 THEN value * 10000 ELSE 0 END AS value
+        |        FROM pts0),
+        |split AS (SELECT scope, bucket, value,
+        |  row_number() OVER (PARTITION BY scope ORDER BY bucket) AS rn,
+        |  count(*) OVER (PARTITION BY scope) AS n FROM pts),
+        |tr AS (SELECT *, CASE WHEN n - floor(n*0.7) > 10 THEN n - 10 ELSE floor(n*0.7) END AS train_n FROM split),
+        |stats AS (SELECT scope, avg(value) FILTER (rn <= train_n) AS a,
+        |  stddev_pop(value) FILTER (rn <= train_n) AS sd FROM tr GROUP BY 1),
+        |b AS (SELECT t.scope, t.bucket, t.value, t.rn, t.train_n, s.a,
+        |        (t.value >= s.a - s.sd*6 AND t.value <= s.a + s.sd*6) AS inb
+        |      FROM tr t JOIN stats s USING (scope) WHERE t.rn <= t.train_n),
+        |k AS (SELECT *, last_value(CASE WHEN inb THEN value END IGNORE NULLS)
+        |        OVER (PARTITION BY scope ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |      FROM b),
+        |san AS (SELECT scope, bucket, inb,
+        |        CASE WHEN inb THEN value ELSE (a + coalesce(prev, a))/2 END AS vs FROM k),
+        |sst AS (SELECT scope, avg(vs) AS sa FROM san GROUP BY 1)
+        |SELECT san.scope, san.bucket, round(vs, 4) AS val, NOT inb AS was_replaced, round(sst.sa, 4) AS san_avg
+        |FROM san JOIN sst USING (scope)""".stripMargin,
     // q17-q19 (Spark-hash sketches), q21/q26/q27 (LSH/IVF ANN — Spark-seeded
     // buckets), q22-q23 (sequential kernel analyzers), q24 (real-image +
     // stub codec): rows-only driver checks; covered by ScalaTest suites.

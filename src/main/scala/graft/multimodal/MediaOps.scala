@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * mapInPandas — one JVM pass per partition over an iterator of rows, so a
   * real codec would amortize its setup per batch exactly like a Pandas UDF).
   *
-  * The actual byte→pixels/samples DECODE is a clearly marked STUB
-  * (`FakeCodec`): no image/audio libraries exist in this container, so it is
-  * a deterministic pure function of the bytes. Everything around it — the
-  * schema, the partitioning, the batch iteration shape, the feature/resize/
-  * frame-sample dataflow — is real and tested; swapping FakeCodec for e.g. a
-  * JNI libjpeg binding changes no plan shape.
+  * IMAGE decode is REAL: `ImageCodec` uses the JDK's `javax.imageio`
+  * (PNG/JPEG need no external library) — bytes → pixels → luma features,
+  * and nearest-neighbor resize. Only AUDIO/VIDEO byte→samples decode remains
+  * a clearly marked STUB (`FakeCodec`): no audio/video codecs exist in this
+  * container, so it is a deterministic pure function of the bytes. The
+  * surrounding dataflow — schema, partitioning, batch iteration, feature/
+  * resize/frame-sample plans — is identical for both; swapping FakeCodec
+  * for e.g. a JNI ffmpeg binding changes no plan shape.
   */
 object MediaOps {
 
@@ -31,9 +33,9 @@ object MediaOps {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ======== STUB BOUNDARY ==================================================
-    * A real implementation decodes bytes with an image/audio codec. This
-    * deterministic fake stands in: "pixels" are a keyed byte expansion,
+  /** ======== STUB BOUNDARY (audio/video ONLY — images use ImageCodec) ======
+    * A real implementation decodes bytes with an audio/video codec. This
+    * deterministic fake stands in: "samples" are a keyed byte expansion,
     * features are a fixed-width fold of the bytes. Replace with a codec
     * binding; signatures stay identical.
     */
@@ -65,16 +67,23 @@ object MediaOps {
     spark
       .range(n.toLong)
       .map { id =>
-        val rnd = new scala.util.Random(id) // seeded per-row: deterministic
-        val len = 256 + (id % 512).toInt
-        val bytes = new Array[Byte](len)
-        rnd.nextBytes(bytes)
+        val w = 16 + (id % 48).toInt
         val mime = (id % 3) match {
-          case 0 => "image/jpeg"
+          case 0 => "image/png"
           case 1 => "audio/wav"
           case _ => "video/mp4"
         }
-        MediaDoc(id, mime, bytes, 64 + (id % 64).toInt, 64, 1000 * (1 + (id % 30)).toInt)
+        // image rows carry REAL (decodable) PNG bytes; audio/video rows
+        // carry seeded opaque bytes for the FakeCodec stub path
+        val bytes =
+          if (id % 3 == 0) ImageCodec.syntheticPng(seed = id, w = w, h = 16)
+          else {
+            val rnd = new scala.util.Random(id) // seeded per-row: deterministic
+            val b = new Array[Byte](256 + (id % 512).toInt)
+            rnd.nextBytes(b)
+            b
+          }
+        MediaDoc(id, mime, bytes, w, 16, 1000 * (1 + (id % 30)).toInt)
       }
   }
 
@@ -85,8 +94,13 @@ object MediaOps {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
-      // per-batch codec setup would happen HERE (stub has none)
-      batch.map(d => MediaFeature(d.doc_id, d.mime, FakeCodec.features(FakeCodec.decode(d.media), dims)))
+      // per-batch codec setup would happen HERE (ImageIO needs none)
+      batch.map { d =>
+        val f =
+          if (d.mime.startsWith("image/")) ImageCodec.features(d.media, dims) // REAL decode
+          else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (audio/video)
+        MediaFeature(d.doc_id, d.mime, f)
+      }
     }
   }
 
@@ -96,7 +110,7 @@ object MediaOps {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { d =>
-        if (d.mime.startsWith("image/")) d.copy(media = FakeCodec.resize(d.media, w, h), width = w, height = h)
+        if (d.mime.startsWith("image/")) d.copy(media = ImageCodec.resize(d.media, w, h), width = w, height = h)
         else d
       }
     }

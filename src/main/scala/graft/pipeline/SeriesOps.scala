@@ -68,9 +68,9 @@ object SeriesOps {
   /** O9+O10 (`Timeseries.java:75-79,125-149`): annotate each point with its
     * train/classify membership and per-series pre-sanitize stats. trainN =
     * floor(0.7·n), bumped to n − forecastPeriods when the classify tail would
-    * exceed forecastPeriods. (The sanitize step O11 is sequential and lives in
-    * the kernel path; this is the scale-path approximation used by the
-    * column-math analyzers, exact whenever no train point exceeds 6σ.)
+    * exceed forecastPeriods. (These are PRE-sanitize stats; chain
+    * `withSanitizedTrain` after this for the exact O11 sanitize and the
+    * post-sanitize stats at scale.)
     */
   def withSplitAndStats(series: DataFrame, forecastPeriods: Long): DataFrame = {
     val w = seriesWindow
@@ -94,6 +94,43 @@ object SeriesOps {
       .withColumn("train_max", max(trainVal).over(wAll))
       .withColumn("train_count", count(trainVal).over(wAll))
       .drop("_rn", "_train_n")
+  }
+
+  /** O11 at scale — EXACT distributed train sanitize
+    * (`Timeseries.java:151-185`; kernel `SeriesKernel.sanitize`): train
+    * points outside avg ± `sigma`·σ are replaced by (avg + previousKept)/2,
+    * where previousKept is the last IN-BOUNDS ORIGINAL train value (seeded
+    * with avg). The recurrence looks sequential, but `previousKept` never
+    * depends on REPLACED values — only on original in-bounds ones — so it
+    * collapses to a window expression: last(in-bounds value, ignoreNulls)
+    * over unbounded-preceding..1-preceding. One window pass over the
+    * existing (scope, metric) partitioning, no recursion, no driver loop —
+    * this closes the round-2 "scale-path approximation" divergence note.
+    *
+    * Input: `withSplitAndStats` output. Adds `value_san` (== value for
+    * classify rows and in-bounds train rows), `was_replaced`, and
+    * post-sanitize train stats `san_avg`/`san_stddev` (population σ,
+    * recomputed over sanitized train values exactly like the kernel).
+    */
+  def withSanitizedTrain(withStats: DataFrame, sigma: Double = 6.0): DataFrame = {
+    val wPrev = seriesWindow.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("scope", "metric")
+    val lb = col("train_avg") - col("train_stddev") * sigma
+    val rb = col("train_avg") + col("train_stddev") * sigma
+    val inBounds = col("value") >= lb && col("value") <= rb
+    val sanVal = when(col("is_train"), col("_san")).otherwise(col("value"))
+    withStats
+      .withColumn("_kept", when(col("is_train") && inBounds, col("value")))
+      .withColumn(
+        "_san",
+        when(inBounds, col("value"))
+          .otherwise((col("train_avg") + coalesce(last(col("_kept"), ignoreNulls = true).over(wPrev), col("train_avg"))) / 2.0)
+      )
+      .withColumn("value_san", sanVal)
+      .withColumn("was_replaced", col("is_train") && !inBounds)
+      .withColumn("san_avg", avg(when(col("is_train"), col("value_san"))).over(wAll))
+      .withColumn("san_stddev", stddev_pop(when(col("is_train"), col("value_san"))).over(wAll))
+      .drop("_kept", "_san")
   }
 
   /** O7 (`AbstractDataLoader.java:233-261`): derive error_rate per scope from

@@ -85,24 +85,38 @@ object Detect {
       scopeRuns(it).flatMap { case (scope, pts) =>
         val processed = processGroup(scope, pts, cfg)
         val flags = analyzers.flatMap(_.analyze(scope, processed.series.values))
-        val scores = ScopePipeline.score(flags, cfg.minScore)
-        val (outliers, snaps) = ScopePipeline.detailsPayload(flags, processed.series)
-        val outlierJson = outliers
-          .map { o =>
-            s"""{"serie_name":"${o.serieName}","timestamp":${o.timestamp},"analyzer_name":"${o.analyzerName}",""" +
-              s""""measured_value":${jd(o.measuredValue)},"expected_value":${jd(o.expectedValue)},""" +
-              s""""expected_value_left_bound":${jd(o.leftBound)},"expected_value_right_bound":${jd(o.rightBound)},""" +
-              s""""outlier_magnitude":${jd(o.magnitude)}}"""
-          }
-          .mkString("[", ",", "]")
-        val snapshotJson = snaps
-          .map { case (name, vs) => s""""$name":${vs.map(jd).mkString("[", ",", "]")}""" }
-          .mkString("{", ",", "}")
-        val details = s"""{"outliers":$outlierJson,"timeseries":$snapshotJson}"""
-        scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
-          Validated(scope, ts, score, details)
-        }
+        validatedForScope(scope, flags, processed, cfg.minScore)
       }
+    }
+  }
+
+  /** V3 scoring + reference-shaped details JSON for ONE scope — shared by
+    * the batch path above and `streaming.StreamingDetect`, so a user moving
+    * between them sees the identical payload.
+    */
+  private[graft] def validatedForScope(
+      scope: String,
+      flags: Seq[Flag],
+      processed: ScopePipeline.Processed,
+      minScore: Double
+  ): Iterator[Validated] = {
+    val scores = ScopePipeline.score(flags, minScore)
+    if (scores.isEmpty) return Iterator.empty
+    val (outliers, snaps) = ScopePipeline.detailsPayload(flags, processed.series)
+    val outlierJson = outliers
+      .map { o =>
+        s"""{"serie_name":"${o.serieName}","timestamp":${o.timestamp},"analyzer_name":"${o.analyzerName}",""" +
+          s""""measured_value":${jd(o.measuredValue)},"expected_value":${jd(o.expectedValue)},""" +
+          s""""expected_value_left_bound":${jd(o.leftBound)},"expected_value_right_bound":${jd(o.rightBound)},""" +
+          s""""outlier_magnitude":${jd(o.magnitude)}}"""
+      }
+      .mkString("[", ",", "]")
+    val snapshotJson = snaps
+      .map { case (name, vs) => s""""$name":${vs.map(jd).mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
+    val details = s"""{"outliers":$outlierJson,"timeseries":$snapshotJson}"""
+    scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
+      Validated(scope, ts, score, details)
     }
   }
 

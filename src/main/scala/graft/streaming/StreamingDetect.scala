@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.kernel.{AnalyzerRegistry, Pt, ScopePipeline}
 import graft.model.{EngineConfig, Validated}
+import graft.spark.Detect
 import graft.spark.Detect.SeriesPoint
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -13,7 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * oldest buckets, mirroring tier TTL); every micro-batch re-runs the exact
   * kernel pipeline over the scope's series and emits the CURRENT validated
   * outliers for scopes that received data (update-style semantics: a
-  * downstream consumer keeps the latest record per (scope, ts)).
+  * downstream consumer keeps the latest record per (scope, ts)). The
+  * validated records carry the SAME reference-shaped details JSON as the
+  * batch path (`Detect.validatedForScope`) — switching between batch and
+  * streaming loses no payload.
+  *
+  * Idle-scope EVICTION: a scope that receives no data for `idleTimeoutMs`
+  * of processing time has its state removed (ProcessingTimeTimeout). A
+  * months-long stream over a churning scope population would otherwise grow
+  * state without bound — dead scopes' series pinned in the state store
+  * forever. An evicted scope that later receives data simply starts a fresh
+  * series (identical to a newly seen scope).
   *
   * Input rows must be finalized series points — e.g. the output of
   * `StreamingDerive.deriveStream`, whose watermark emits each window once.
@@ -24,46 +35,49 @@ object StreamingDetect {
 
   def detectStream(
       derived: Dataset[SeriesPoint],
-      cfg: EngineConfig
+      cfg: EngineConfig,
+      idleTimeoutMs: Long = 6L * 3600 * 1000
   ): Dataset[Validated] = {
     val spark = derived.sparkSession
     import spark.implicits._
     derived
       .groupByKey(_.scope)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (scope: String, rows: Iterator[SeriesPoint], state: GroupState[ScopeState]) => {
-          val prev = state.getOption.map(_.points).getOrElse(Array.empty[SeriesPoint])
-          // merge new finalized windows; a re-delivered (metric, bucket) pair
-          // overwrites (idempotent against foreachBatch replays)
-          val merged = (prev ++ rows)
-            .groupBy(p => (p.metric, p.bucket))
-            .map(_._2.last)
-            .toArray
-            .sortBy(p => (p.metric, p.bucket))
-          // bound state: keep the newest buckets per metric
-          val bounded =
-            if (merged.length <= cfg.maxSeriesPoints) merged
-            else
-              merged
-                .groupBy(_.metric)
-                .values
-                .flatMap(ps => ps.sortBy(_.bucket).takeRight(cfg.maxSeriesPoints / math.max(1, merged.map(_.metric).distinct.length)))
-                .toArray
-                .sortBy(p => (p.metric, p.bucket))
-          state.update(ScopeState(bounded))
+          if (state.hasTimedOut) {
+            state.remove() // idle scope: free its series from the state store
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.points).getOrElse(Array.empty[SeriesPoint])
+            // merge new finalized windows; a re-delivered (metric, bucket) pair
+            // overwrites (idempotent against foreachBatch replays)
+            val merged = (prev ++ rows)
+              .groupBy(p => (p.metric, p.bucket))
+              .map(_._2.last)
+              .toArray
+              .sortBy(p => (p.metric, p.bucket))
+            // bound state: keep the newest buckets per metric
+            val bounded =
+              if (merged.length <= cfg.maxSeriesPoints) merged
+              else
+                merged
+                  .groupBy(_.metric)
+                  .values
+                  .flatMap(ps => ps.sortBy(_.bucket).takeRight(cfg.maxSeriesPoints / math.max(1, merged.map(_.metric).distinct.length)))
+                  .toArray
+                  .sortBy(p => (p.metric, p.bucket))
+            state.update(ScopeState(bounded))
+            state.setTimeoutDuration(idleTimeoutMs)
 
-          val raw: Map[String, Iterable[Pt]] =
-            bounded.groupBy(_.metric).map { case (m, ps) => m -> ps.map(p => Pt(p.bucket, p.value)).toIndexedSeq }
-          val processed = ScopePipeline.process(raw, cfg)
-          if (processed.series.isEmpty) Iterator.empty
-          else {
-            val flags = AnalyzerRegistry.all.flatMap(_.analyze(scope, processed.series.values))
-            ScopePipeline
-              .score(flags, cfg.minScore)
-              .toSeq
-              .sortBy(_._1)
-              .iterator
-              .map { case (ts, score) => Validated(scope, ts, score, "{}") }
+            val raw: Map[String, Iterable[Pt]] =
+              bounded.groupBy(_.metric).map { case (m, ps) => m -> ps.map(p => Pt(p.bucket, p.value)).toIndexedSeq }
+            val processed = ScopePipeline.process(raw, cfg)
+            if (processed.series.isEmpty) Iterator.empty
+            else {
+              val flags = AnalyzerRegistry.all.flatMap(_.analyze(scope, processed.series.values))
+              // batch-identical payload: score gate + full details JSON
+              Detect.validatedForScope(scope, flags, processed, cfg.minScore)
+            }
           }
         }
       )

@@ -46,12 +46,43 @@ class MediaOpsSpec extends SparkTestBase {
     assert(frames.agg(sum(length(col("frame")))).head.getLong(0) > 0)
   }
 
-  test("resize updates image metadata only for images") {
+  test("resize updates image metadata only for images; resized bytes decode") {
     val resized = MediaOps.resizeImages(MediaOps.syntheticMedia(spark, 30), 32, 32).collect()
     resized.foreach { d =>
-      if (d.mime.startsWith("image/")) assert(d.width == 32 && d.height == 32)
-      else assert(d.height == 64)
+      if (d.mime.startsWith("image/")) {
+        assert(d.width == 32 && d.height == 32)
+        val img = ImageCodec.decode(d.media) // REAL decode of the resized PNG
+        assert(img.getWidth == 32 && img.getHeight == 32)
+      } else assert(d.height == 16)
     }
+  }
+
+  test("ImageCodec: PNG roundtrip is lossless, features match known pixels") {
+    // 2×2 image: top row white, bottom row black → 2-band luma [1, 0]
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0x000000)
+    val png = ImageCodec.encodePng(img)
+    val back = ImageCodec.decode(png)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff), s"($x,$y)")
+    val f = ImageCodec.features(png, dims = 2)
+    assert(math.abs(f(0) - 1.0f) < 1e-6f && math.abs(f(1)) < 1e-6f, f.toSeq.toString)
+    // synthetic corpus: image rows really decode at declared dimensions
+    val doc = MediaOps.syntheticMedia(spark, 3).collect().find(_.mime == "image/png").get
+    val dimg = ImageCodec.decode(doc.media)
+    assert(dimg.getWidth == doc.width && dimg.getHeight == doc.height)
+  }
+
+  test("ImageCodec resize: nearest-neighbor picks exact source pixels") {
+    // 4×4 quadrant image downsampled to 2×2 must pick one pixel per quadrant
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cols = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, cols((y / 2) * 2 + (x / 2)))
+    val small = ImageCodec.decode(ImageCodec.resize(ImageCodec.encodePng(img), 2, 2))
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((small.getRGB(x, y) & 0xffffff) == cols(y * 2 + x), s"($x,$y)")
   }
 
   test("media features feed ANN cosine top-k") {

@@ -32,7 +32,7 @@ class StreamingDetectSpec extends SparkTestBase {
     val (first, second) = pts.splitAt(pts.length / 2)
 
     val input = MemoryStream[Detect.SeriesPoint]
-    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, (String, Long, Double))]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, (String, Long, Double, String))]
     val q = StreamingDetect
       .detectStream(input.toDS(), cfg)
       .writeStream
@@ -41,7 +41,7 @@ class StreamingDetectSpec extends SparkTestBase {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Validated], id: Long) =>
         emitted.synchronized {
-          emitted ++= batch.collect().map(v => id -> ((v.scope, v.ts, v.score)))
+          emitted ++= batch.collect().map(v => id -> ((v.scope, v.ts, v.score, v.details)))
         }
         ()
       }
@@ -53,15 +53,56 @@ class StreamingDetectSpec extends SparkTestBase {
 
     // final state = the LAST batch that emitted anything for the scope
     val lastBatch = emitted.map(_._1).max
-    val finalSet = emitted.filter(_._1 == lastBatch).map(_._2).map { case (_, ts, score) => ts -> score }.toMap
+    val finalSet = emitted.filter(_._1 == lastBatch).map(_._2).map { case (_, ts, score, det) => ts -> ((score, det)) }.toMap
 
     val batchValidated = Detect
       .detectValidated(spark.createDataset(pts), cfg)
       .collect()
-      .map(v => v.ts -> v.score)
+      .map(v => v.ts -> ((v.score, v.details)))
       .toMap
 
+    // scores AND the full reference-shaped details JSON must match batch —
+    // streaming must not silently degrade the payload
     assert(finalSet == batchValidated, s"streaming final vs batch: $finalSet vs $batchValidated")
     assert(finalSet.nonEmpty)
+    finalSet.values.foreach { case (_, det) =>
+      assert(det.contains("\"outliers\":[") && det.contains("\"timeseries\":{"), det.take(120))
+    }
+  }
+
+  test("idle scopes are EVICTED after the processing-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val cfg = EngineConfig()
+    val pts = fixturePoints("real_test_4_peak.tsv").sortBy(p => (p.metric, p.bucket))
+
+    val input = MemoryStream[Detect.SeriesPoint]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // tiny timeout: the idle scope must be gone by the follow-up batch
+    val stream = StreamingDetect.detectStream(input.toDS(), cfg, idleTimeoutMs = 50L)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_sd_evict").toString)
+      .trigger(Trigger.ProcessingTime(200))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Validated], id: Long) =>
+        batch.collect(); () // force the batch
+      }
+      .start()
+    try {
+      input.addData(pts)
+      // wait until the scope's data batch has processed, then let it idle
+      // past the timeout; subsequent empty batches fire the timed-out branch
+      val deadline = System.currentTimeMillis() + 60000
+      var evicted = false
+      while (!evicted && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          evicted = p.stateOperators.head.numRowsTotal == 0 && p.batchId > 0
+      }
+      assert(evicted, "state store still holds rows for the idle scope after timeout")
+    } finally q.stop()
   }
 }
