@@ -29,8 +29,14 @@ object SparkEntry {
     * and the DuckDB oracle (read_parquet on the absolute path) see the SAME
     * rows instead of re-synthesizing per engine.
     */
-  private[graft] val mediaFixturePath: String =
-    java.nio.file.Paths.get("target/fixtures/media_corpus.parquet").toAbsolutePath.toString
+  private[graft] val mediaFixturePath: String = {
+    // anchor to the repo when present (the driver may invoke Verify from any
+    // cwd; query and oracle must agree on one absolute location)
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo/target"))) "/root/repo/target/fixtures"
+      else java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString
+    s"$base/media_corpus.parquet"
+  }
 
   private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
     import s.implicits._

@@ -45,6 +45,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("join"), "series chain must not contain a join")
   }
 
+  test("sanitize chain adds NO exchange (reuses the scope/metric partitioning)") {
+    // withSanitizedTrain's windows partition by the same (scope, metric) key
+    // as withSplitAndStats — the whole chain must keep the series-chain
+    // exchange budget (≤2) and stay join-free
+    val chained = SeriesOps.withSanitizedTrain(
+      SeriesOps.withSplitAndStats(SeriesOps.gapFill(SeriesOps.bucketSum(points, 60), 60), 10)
+    )
+    val p = plan(chained)
+    assert(count(p, "(?i)exchange") <= 2, s"exchanges:\n$p")
+    assert(!p.toLowerCase.contains("join"), "sanitize must not introduce a join")
+  }
+
   test("fit/fence joins are broadcast (ols, iqr, random-walk, time-bucket)") {
     val stats = SeriesOps.withSplitAndStats(points, 10)
     for (
