@@ -625,6 +625,27 @@ object SparkEntry {
 
   // ---- oracles ---------------------------------------------------------------
 
+  /** LSH bucket id of DuckDB column `e` for hash table `t`: the same sign
+    * bits Spark computes, with the SAME splitmix64 plane weights inlined as
+    * double literals (Double.toString round-trips exactly, so both engines
+    * evaluate identical FP math).
+    */
+  private def duckLshBucket(e: String, t: Int, nPlanes: Int, dims: Int): String =
+    (0 until nPlanes)
+      .map { p =>
+        val w = (0 until dims).map(d => Ann.planeWeight(t, p, d).toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($e, $w) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
+  /** (vec_id, emb, t, b) rows for all hash tables — the SQL mirror of
+    * `Ann.bucketedCapped`'s bucketing (cap applied by the caller).
+    */
+  private def duckLshBuckets(nPlanes: Int, nTables: Int, dims: Int): String =
+    (0 until nTables)
+      .map(t => s"SELECT vec_id, emb, $t AS t, ${duckLshBucket("emb", t, nPlanes, dims)} AS b FROM e")
+      .mkString("\n  UNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
     "q01_bucket_sum" ->
       s"SELECT event_type AS scope, $duckBucket60 AS bucket, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
@@ -992,8 +1013,40 @@ object SparkEntry {
         |sst AS (SELECT scope, avg(vs) AS sa FROM san GROUP BY 1)
         |SELECT san.scope, san.bucket, round(vs, 4) AS val, NOT inb AS was_replaced, round(sst.sa, 4) AS san_avg
         |FROM san JOIN sst USING (scope)""".stripMargin,
-    // q17-q19 (Spark-hash sketches), q21/q26/q27 (LSH/IVF ANN — Spark-seeded
-    // buckets), q22-q23 (sequential kernel analyzers), q24 (real-image +
-    // stub codec): rows-only driver checks; covered by ScalaTest suites.
+    // q21: multi-table LSH ANN — the plane weights are deterministic
+    // driver-side constants, inlined into the SQL, so the full LSH path
+    // (bucketing, hot-bucket cap, candidate join, dedup, top-k) is exactly
+    // reproducible in DuckDB
+    "q21_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bt AS (${duckLshBuckets(nPlanes = 6, nTables = 8, dims = 64)}),
+        |capped AS (SELECT vec_id, emb, t, b FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 4096),
+        |qb AS (SELECT vec_id AS query_id, emb AS qe, t, b FROM bt WHERE vec_id < 5),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+        |      FROM qb JOIN capped c USING (t, b) WHERE c.vec_id <> qb.query_id),
+        |g AS (SELECT query_id, neighbor_id, max(sim) AS sim FROM s GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |      FROM g)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10""".stripMargin,
+    // q26: embedding near-dup pairs — same literal-plane trick (6 tables ×
+    // 6 planes), pair semantics: self-join per (t,b), cap 1024, max-sim
+    // dedup, threshold 0.4
+    "q26_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bt AS (${duckLshBuckets(nPlanes = 6, nTables = 6, dims = 64)}),
+        |capped AS (SELECT vec_id, emb, t, b FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 1024),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+        |      FROM capped a JOIN capped b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+        |g AS (SELECT id_a, id_b, max(sim) AS sim FROM p GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM g WHERE sim >= 0.4""".stripMargin,
+    // q17-q19 (Spark murmur3/xxhash64/crc32 sketches — DuckDB has none of
+    // those hashes), q27 (IVF — iterative Lloyd not SQL-expressible),
+    // q22-q23 (sequential kernel analyzers), q24 (pixel-space features):
+    // rows-only driver checks; covered by ScalaTest suites.
   )
 }

@@ -60,8 +60,12 @@ object Ann {
     z ^ (z >>> 31)
   }
 
-  /** deterministic plane weight in [-1, 1) for (table, plane, dim) */
-  private def planeWeight(table: Int, plane: Int, dim: Int): Double =
+  /** deterministic plane weight in [-1, 1) for (table, plane, dim).
+    * private[graft]: SparkEntry inlines the same constants into the DuckDB
+    * oracle SQL, making the LSH queries oracle-able despite their "random"
+    * projections.
+    */
+  private[graft] def planeWeight(table: Int, plane: Int, dim: Int): Double =
     ((mix64(table.toLong * 1000003L + plane.toLong * 8191L + dim) >>> 11).toDouble /
       (1L << 53).toDouble) * 2.0 - 1.0
 
