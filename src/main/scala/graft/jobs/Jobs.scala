@@ -43,6 +43,50 @@ object Rollup {
   }
 }
 
+/** Store maintenance (the nightly companion of streaming ingestion at
+  * 100 TB): per tier, optionally TTL-demote partitions older than a cutoff
+  * (pure metadata commit — the coarser tier must already cover them),
+  * compact partitions fragmented past `maxFiles` (foreachBatch appends
+  * accumulate one file per micro-batch per task — a scan-planning and
+  * listing tax), then expire snapshots, physically reclaiming files no kept
+  * snapshot references. Every step is a snapshot-isolated commit: concurrent
+  * readers and writers are never disturbed, and a compaction racing a
+  * rewrite aborts cleanly (TableStore validation).
+  *
+  * Usage: Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val storeBase = args(0)
+    val tier = args(1)
+    val maxFiles = if (args.length > 2) args(2).toInt else 8
+    val keepSnapshots = if (args.length > 3) args(3).toInt else 3
+    val ttlCutoff = if (args.length > 4) Some(args(4)) else None
+    val spark = Jobs.session("graft-maintain")
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new TableStore(storeBase, s"tier_$tier")
+
+    for (cutoff <- ttlCutoff) {
+      val snap = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
+      println(s"""{"step":"ttl","cutoff":"$cutoff","snapshot":${snap.snapshotId},"partitions":${snap.partitions.size}}""")
+    }
+    val fragmented = store.currentSnapshot.toSeq
+      .flatMap(_.partitions)
+      .filter(_.files.size > maxFiles)
+      .map(_.partition)
+    var compacted = 0
+    for (p <- fragmented) {
+      // a concurrent rewrite of the same partition aborts this compaction —
+      // skip it this cycle rather than failing the whole maintenance run
+      try { store.compactPartition(spark, "day", p); compacted += 1 }
+      catch { case e: IllegalArgumentException => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
+    }
+    val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
+    println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed}""")
+    spark.stop()
+  }
+}
+
 /** Detect: a tier store → validated outliers parquet (full 12-analyzer
   * exact pipeline per scope).
   *

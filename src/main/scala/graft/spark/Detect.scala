@@ -105,14 +105,14 @@ object Detect {
     val (outliers, snaps) = ScopePipeline.detailsPayload(flags, processed.series)
     val outlierJson = outliers
       .map { o =>
-        s"""{"serie_name":"${o.serieName}","timestamp":${o.timestamp},"analyzer_name":"${o.analyzerName}",""" +
+        s"""{"serie_name":${js(o.serieName)},"timestamp":${o.timestamp},"analyzer_name":${js(o.analyzerName)},""" +
           s""""measured_value":${jd(o.measuredValue)},"expected_value":${jd(o.expectedValue)},""" +
           s""""expected_value_left_bound":${jd(o.leftBound)},"expected_value_right_bound":${jd(o.rightBound)},""" +
           s""""outlier_magnitude":${jd(o.magnitude)}}"""
       }
       .mkString("[", ",", "]")
     val snapshotJson = snaps
-      .map { case (name, vs) => s""""$name":${vs.map(jd).mkString("[", ",", "]")}""" }
+      .map { case (name, vs) => s"""${js(name)}:${vs.map(jd).mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
     val details = s"""{"outliers":$outlierJson,"timeseries":$snapshotJson}"""
     scores.toSeq.sortBy(_._1).iterator.map { case (ts, score) =>
@@ -158,6 +158,20 @@ object Detect {
 
   private def jd(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  /** JSON string literal — serie/analyzer names come from user data and are
+    * not guaranteed quote/control-char free (the reference's gson escapes).
+    */
+  private def js(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
 
   private def processGroup(
       scope: String,

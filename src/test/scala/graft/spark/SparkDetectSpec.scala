@@ -122,6 +122,24 @@ class SparkDetectSpec extends SparkTestBase {
     assert(validated.map(_.details).distinct.length == 1)
   }
 
+  test("details JSON escapes quotes/control chars in user serie names") {
+    val s = spark
+    import s.implicits._
+    // a metric name with a quote, backslash and newline — user data is not
+    // guaranteed JSON-safe; the payload must stay parseable
+    val evil = "reg\"ul\\ar\nx"
+    val pts = (0 until 60).map { i =>
+      Detect.SeriesPoint("sc", evil, 1000L + i * 60, if (i == 55) 1e6 else 100.0 + (i % 3))
+    }
+    val out = Detect.detectValidated(spark.createDataset(pts), EngineConfig(resolution = 60)).collect()
+    assert(out.nonEmpty, "fixture must validate at least one ts")
+    out.foreach { v =>
+      // the raw name must NOT appear unescaped; the escaped form must parse
+      assert(!v.details.contains("\"" + evil + "\""), v.details.take(200))
+      assert(v.details.contains("reg\\\"ul\\\\ar\\nx"), v.details.take(300))
+    }
+  }
+
   test("detect is partitioning-invariant (1 vs 32 partitions)") {
     val s = spark
     import s.implicits._
