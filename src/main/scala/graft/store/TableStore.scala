@@ -166,12 +166,20 @@ final class TableStore(base: String, table: String) {
     * inherit the parent's entries verbatim — commit cost is O(delta), which
     * is what Iceberg manifests are for. `onlyPartitions`, when set,
     * restricts the write (resume path: everything else is already on disk).
+    *
+    * `append = true` (Iceberg AppendFiles): a written partition's entry
+    * MERGES with the parent's — files concatenated, rows summed, content
+    * hashes XOR-combined (bit_xor over row hashes composes under union,
+    * which is exactly why that hash was chosen). This is the streaming
+    * micro-batch path: each foreachBatch commit adds files, never rewrites;
+    * `compactPartition` bounds the resulting file counts.
     */
   def write(
       df: DataFrame,
       partitionCol: String,
       inputSnapshot: String,
-      onlyPartitions: Option[Set[String]] = None
+      onlyPartitions: Option[Set[String]] = None,
+      append: Boolean = false
   ): Snapshot = {
     val spark = df.sparkSession
     val toWrite = onlyPartitions match {
@@ -196,10 +204,22 @@ final class TableStore(base: String, table: String) {
     commit(
       inputSnapshot,
       parent => {
+        val parentByPart = parent.map(_.partitions.map(p => p.partition -> p).toMap).getOrElse(Map.empty)
+        val freshMerged =
+          if (!append) fresh
+          else
+            fresh.map { f =>
+              parentByPart.get(f.partition) match {
+                case Some(pe) =>
+                  require(pe.files.nonEmpty, s"cannot append to legacy file-less entry ${f.partition}")
+                  PartitionManifest(f.partition, pe.rows + f.rows, pe.contentHash ^ f.contentHash, pe.files ++ f.files)
+                case None => f
+              }
+            }
         val inherited = parent
           .map(_.partitions.filterNot(p => writtenParts(p.partition)))
           .getOrElse(Seq.empty)
-        (inherited ++ fresh).sortBy(_.partition)
+        (inherited ++ freshMerged).sortBy(_.partition)
       }
     )
   }

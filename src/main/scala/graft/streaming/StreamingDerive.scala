@@ -36,9 +36,11 @@ object StreamingDerive {
       .where(col("value").isNotNull)
   }
 
-  /** write a derived stream into a parquet tier via foreachBatch (append of
-    * finalized windows; OutputMode.Append emits a window only once its
-    * watermark passes — idempotent tier appends).
+  /** write a derived stream into a BARE parquet directory via foreachBatch
+    * (no manifests — for consumers that list the directory directly;
+    * OutputMode.Append emits a window only once its watermark passes).
+    * Prefer `writeToTierStore` for manifest-resolved tiers: files appended
+    * here are INVISIBLE to a TableStore's snapshot reads.
     */
   def writeToTier(derived: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     derived.writeStream
@@ -47,5 +49,27 @@ object StreamingDerive {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(path)
+      }
+
+  /** write a derived stream into a TableStore tier: each micro-batch is an
+    * ATOMIC append commit (Iceberg AppendFiles semantics — files added,
+    * rows/hashes merged into the partition manifests, never rewritten), so
+    * batch readers, time travel and TTL/compaction/expire all see streaming
+    * data through the same snapshot machinery as batch tiers. Safe alongside
+    * concurrent batch writers (optimistic CREATE_NEW retry). Fragmentation
+    * from one-file-per-batch appends is bounded by `jobs.Maintain`.
+    */
+  def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] =
+    derived.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val withDay = batch.withColumn("day", date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd"))
+          new graft.store.TableStore(base, s"tier_$tier")
+            .write(withDay, "day", inputSnapshot = s"stream-batch-$id", append = true)
+          ()
+        }
       }
 }

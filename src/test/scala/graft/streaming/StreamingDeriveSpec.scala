@@ -53,4 +53,60 @@ class StreamingDeriveSpec extends SparkTestBase {
     val streamedCount = streamed.count()
     assert(streamedCount >= batchCount - 2 * 10, s"streamed $streamedCount of $batchCount")
   }
+
+  test("writeToTierStore: micro-batches land as ATOMIC append commits, manifest-visible") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val turns = FixtureGen
+      .synthetic(spark, nConvs = 8, maxTurns = 600, partitions = 2)
+      .as[graft.model.Turn]
+      .collect()
+      .toSeq
+      .sortBy(_.ts.getTime)
+    val maxTs = turns.map(_.ts.getTime).max
+    val closer =
+      graft.model.Turn("wm_closer", 0, "system", "wm", null, new java.sql.Timestamp(maxTs + 3600 * 1000L))
+
+    val input = MemoryStream[graft.model.Turn]
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    def drain(): Unit = {
+      val q = StreamingDerive
+        .writeToTierStore(StreamingDerive.deriveStream(input.toDF(), 60L), out, "stream", s"$out/ckpt")
+        .start()
+      q.awaitTermination(120000)
+    }
+    // two separate drains → at least two append commits
+    val (first, second) = turns.splitAt(turns.length / 2)
+    input.addData(first); drain()
+    input.addData(second :+ closer); drain()
+
+    val store = new graft.store.TableStore(out, "tier_stream")
+    val snaps = store.snapshots
+    assert(snaps.size >= 2, s"expected >=2 append commits, got ${snaps.size}")
+    // manifest-resolved read must see ALL finalized windows (no bare files
+    // invisible to snapshots), and match the manifests' own row counts
+    val read = store.read(spark).where(col("scope") =!= "wm_closer")
+    assert(read.count() == store.currentSnapshot.get.partitions.map(_.rows).sum -
+      store.read(spark).where(col("scope") === "wm_closer").count())
+    // every streamed row equals its batch-derive value
+    val batch = Derive.deriveSeries(turns.toDF(), 60L)
+    val joined = read
+      .select("scope", "metric", "bucket", "value")
+      .join(batch.withColumnRenamed("value", "batch_value"), Seq("scope", "metric", "bucket"), "left")
+    assert(joined.where(col("batch_value").isNull || col("value") =!= col("batch_value")).count() == 0)
+    // appended partitions keep snapshot history: first commit's read is a
+    // strict subset of the final one
+    val firstRows = store.read(spark, snaps.head.snapshotId).count()
+    assert(firstRows > 0 && firstRows < store.read(spark).count())
+    // compaction after appends is content-identical (hash XOR composes)
+    val frag = store.currentSnapshot.get.partitions.maxBy(_.files.size)
+    if (frag.files.size > 1) {
+      val before = frag.contentHash
+      val after = store.compactPartition(spark, "day", frag.partition).partitions
+        .find(_.partition == frag.partition).get
+      assert(after.contentHash == before && after.files.size == 1)
+    }
+  }
 }
