@@ -30,11 +30,15 @@ object SparkEntry {
     * rows instead of re-synthesizing per engine.
     */
   private[graft] val mediaFixturePath: String = {
-    // anchor to the repo when present (the driver may invoke Verify from any
-    // cwd; query and oracle must agree on one absolute location)
-    val base =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo/target"))) "/root/repo/target/fixtures"
-      else java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString
+    // query and oracle must agree on one absolute location regardless of
+    // the invoking cwd: env override first, then this build's own target/
+    // (anchored to build.sbt so a foreign directory is never picked up),
+    // then cwd-relative as the last resort
+    val base = sys.env.get("GRAFT_FIXTURE_DIR").orElse {
+      Seq(java.nio.file.Paths.get("").toAbsolutePath, java.nio.file.Paths.get("/root/repo"))
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .map(_.resolve("target/fixtures").toString)
+    }.getOrElse(java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString)
     s"$base/media_corpus.parquet"
   }
 

@@ -76,10 +76,12 @@ object Maintain {
       .map(_.partition)
     var compacted = 0
     for (p <- fragmented) {
-      // a concurrent rewrite of the same partition aborts this compaction —
-      // skip it this cycle rather than failing the whole maintenance run
+      // a concurrent rewrite (IllegalArgumentException from the validation
+      // require) or drop (RuntimeException from the lookup) of the same
+      // partition aborts this compaction — skip it this cycle rather than
+      // failing the whole maintenance run before expiry gets to run
       try { store.compactPartition(spark, "day", p); compacted += 1 }
-      catch { case e: IllegalArgumentException => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
     println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed}""")

@@ -78,7 +78,23 @@ final class TableStore(base: String, table: String) {
         .map(p => ManifestJson.parse(Files.readString(p)))
         .sortBy(_.snapshotId)
 
-  def currentSnapshot: Option[Snapshot] = snapshots.lastOption
+  /** has a commit with this lineage id already landed? (streaming replay
+    * guard — Iceberg's txnAppId/txnVersion idempotence pattern)
+    */
+  def hasCommit(inputSnapshot: String): Boolean =
+    snapshots.exists(_.inputSnapshot == inputSnapshot)
+
+  /** Parses ONLY the lexically-last manifest (names are zero-padded, so
+    * lexical == numeric order) — a per-micro-batch streaming committer calls
+    * this on every commit, and parsing the full history each time would make
+    * cumulative commit cost quadratic in commit count.
+    */
+  def currentSnapshot: Option[Snapshot] =
+    if (!Files.isDirectory(manifestDir)) None
+    else
+      listDir(manifestDir)(
+        _.filter(_.getFileName.toString.startsWith("snapshot-")).maxByOption(_.getFileName.toString)
+      ).map(p => ManifestJson.parse(Files.readString(p)))
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
@@ -93,30 +109,41 @@ final class TableStore(base: String, table: String) {
 
   /** manifest entry → concrete scan paths. File-tracked entries resolve to
     * their exact file set; legacy (pre-file-tracking) entries resolve to the
-    * single partition DIRECTORY they were committed for — never the whole
-    * dataDir, which under the append-only layout holds files from ALL
-    * snapshots and would double-count rewritten partitions.
+    * NON-snapshot-prefixed files of their single partition directory — never
+    * the whole dir (later snapshot-prefixed rewrites land in the same dir
+    * under the append-only layout, and including them would both
+    * double-count current reads and leak future data into time travel) and
+    * never the whole dataDir.
     */
   private def entryPaths(p: PartitionManifest): Seq[String] =
     if (p.files.nonEmpty) p.files.map(f => s"$dataDir/$f")
-    else legacyPartitionDir(p.partition).toSeq
+    else legacyPartitionFiles(p.partition)
 
-  /** locate the on-disk directory for a legacy manifest entry: the dir whose
-    * escaped `<col>=<v>` suffix unescapes to the raw partition value.
+  private val snapshotFileName = "^s\\d{9}-".r
+
+  /** legacy manifest entry → its original data files: the files of the dir
+    * whose escaped `<col>=<v>` suffix unescapes to the raw partition value,
+    * EXCLUDING snapshot-prefixed files (those belong to later commits).
     */
-  private def legacyPartitionDir(partition: String): Option[String] = {
+  private def legacyPartitionFiles(partition: String): Seq[String] = {
     val dd = Paths.get(dataDir)
-    if (!Files.isDirectory(dd)) None
-    else
-      listDir(dd)(
-        _.filter(Files.isDirectory(_))
-          .find { d =>
-            val name = d.getFileName.toString
-            val eq = name.indexOf('=')
-            eq >= 0 && ExternalCatalogUtils.unescapePathName(name.substring(eq + 1)) == partition
-          }
-          .map(_.toString)
-      )
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val dir = listDir(dd)(
+      _.filter(Files.isDirectory(_))
+        .find { d =>
+          val name = d.getFileName.toString
+          val eq = name.indexOf('=')
+          eq >= 0 && ExternalCatalogUtils.unescapePathName(name.substring(eq + 1)) == partition
+        }
+    )
+    dir.toSeq.flatMap { d =>
+      listDir(d)(
+        _.filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && snapshotFileName.findFirstIn(n).isEmpty
+        }.map(_.toString).toSeq
+      ).sorted
+    }
   }
 
   /** manifest-resolved scan of the current snapshot (snapshot isolation: a
@@ -195,9 +222,11 @@ final class TableStore(base: String, table: String) {
     // unique snapshot prefix (append-only: old snapshots keep their files).
     // Stage dir carries a UUID so concurrent writers can never share one.
     val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
-    toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
-    val moved: Map[String, Seq[String]] = moveStaged(stage, partitionCol, provisionalId)
-    deleteRecursively(stage)
+    val moved: Map[String, Seq[String]] =
+      try {
+        toWrite.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+        moveStaged(stage, partitionCol, provisionalId)
+      } finally deleteRecursively(stage) // a failed/killed staging write must not leak its copy
 
     val fresh = hashFiles(spark, partitionCol, moved)
     val writtenParts = moved.keySet
@@ -283,16 +312,21 @@ final class TableStore(base: String, table: String) {
       val parentSnap = currentSnapshot
       val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
       val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap))
+      // The claim must be atomic in CONTENT, not just in name: a bare
+      // CREATE_NEW + write publishes an empty/partial file that concurrent
+      // readers could parse (or, after a crash mid-write, wedges the table
+      // forever). Write the full JSON to a temp file first, then CLAIM the
+      // snapshot name with createLink — POSIX link(2) fails atomically with
+      // EEXIST, and the linked content is complete by construction.
+      val target = manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json")
+      val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}.json")
+      Files.writeString(tmp, ManifestJson.render(snap), StandardOpenOption.CREATE_NEW)
       try {
-        Files.writeString(
-          manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json"),
-          ManifestJson.render(snap),
-          StandardOpenOption.CREATE_NEW
-        )
+        Files.createLink(target, tmp)
         return snap
       } catch {
         case _: FileAlreadyExistsException => attempts += 1 // lost the race; re-merge on new parent
-      }
+      } finally Files.deleteIfExists(tmp)
     }
     sys.error(s"commit contention: gave up after $attempts attempts on $table")
   }
@@ -315,15 +349,17 @@ final class TableStore(base: String, table: String) {
     val provisionalId = parentSnap.snapshotId + 1
 
     val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
-    spark.read
-      .option("basePath", dataDir)
-      .parquet(entryPaths(entry): _*)
-      .coalesce(targetFiles)
-      .write
-      .partitionBy(partitionCol)
-      .parquet(stage.toString)
-    val moved = moveStaged(stage, partitionCol, provisionalId)
-    deleteRecursively(stage)
+    val moved =
+      try {
+        spark.read
+          .option("basePath", dataDir)
+          .parquet(entryPaths(entry): _*)
+          .coalesce(targetFiles)
+          .write
+          .partitionBy(partitionCol)
+          .parquet(stage.toString)
+        moveStaged(stage, partitionCol, provisionalId)
+      } finally deleteRecursively(stage)
 
     val fresh = hashFiles(spark, partitionCol, moved)
     commit(

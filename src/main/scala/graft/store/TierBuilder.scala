@@ -16,7 +16,11 @@ object TierBuilder {
   val TierResolutions: Seq[(String, Long)] =
     Seq(("raw", 60L), ("1m", 60L), ("1h", 3600L), ("1d", 86400L))
 
-  private def withDay(df: DataFrame): DataFrame =
+  /** the tier partition key — private[graft] so the streaming writer uses
+    * the SAME expression (divergent copies would break TTL cutoff compares
+    * and Maintain compaction targeting between batch and streaming tiers)
+    */
+  private[graft] def withDay(df: DataFrame): DataFrame =
     df.withColumn("day", date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd"))
 
   /** Build all tiers; `failAfterTier` (test hook) aborts after k tiers to

@@ -65,11 +65,17 @@ object StreamingDerive {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val withDay = batch.withColumn("day", date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd"))
-          new graft.store.TableStore(base, s"tier_$tier")
-            .write(withDay, "day", inputSnapshot = s"stream-batch-$id", append = true)
-          ()
+        val store = new graft.store.TableStore(base, s"tier_$tier")
+        val lineage = s"stream-batch-$id"
+        // REPLAY guard (Iceberg txn idempotence): after a crash between the
+        // store commit and the stream's offset commit, foreachBatch re-runs
+        // the same batch id — appending it twice would double-count rows
+        if (!store.hasCommit(lineage)) {
+          // persist: isEmpty and the staged write would otherwise each
+          // re-execute the micro-batch's full plan
+          val b = batch.persist()
+          try if (!b.isEmpty) { store.write(graft.store.TierBuilder.withDay(b), "day", lineage, append = true); () }
+          finally b.unpersist()
         }
       }
 }

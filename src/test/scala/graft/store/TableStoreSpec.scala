@@ -3,6 +3,7 @@ package graft.store
 import graft.spark.SparkTestBase
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Round-3 TableStore invariants: manifest-only reads (no raw-dir fallback
   * double counting), legacy entry resolution, atomic concurrent commits,
@@ -36,12 +37,18 @@ class TableStoreSpec extends SparkTestBase {
     val base = tmp()
     val store = new TableStore(base, "t")
     val s0 = store.write(df("2024-01-01" -> 5, "2024-01-02" -> 7), "day", "in-v1")
-    // simulate a pre-file-tracking manifest: strip the file lists from s0
+    // simulate a pre-file-tracking table: strip the file lists from s0's
+    // manifest AND the snapshot prefixes from its on-disk files (round-1
+    // legacy files were plain part-*.parquet)
     val legacy = s0.copy(partitions = s0.partitions.map(_.copy(files = Seq.empty)))
     Files.writeString(
       Paths.get(s"$base/t/_manifests/snapshot-${"%09d".format(s0.snapshotId)}.json"),
       ManifestJson.render(legacy)
     )
+    for (rel <- s0.partitions.flatMap(_.files)) {
+      val p = Paths.get(s"$base/t/data/$rel")
+      Files.move(p, p.resolveSibling(p.getFileName.toString.replaceFirst("^s\\d{9}-", "")))
+    }
     assert(new TableStore(base, "t").read(spark).count() == 12)
     // first post-upgrade commit rewrites one partition; the legacy entry for
     // the OTHER partition must resolve to its dir — and the rewritten one to
@@ -51,6 +58,51 @@ class TableStoreSpec extends SparkTestBase {
     val rows = store2.read(spark).groupBy(col("day").cast("string")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("2024-01-01" -> 5L, "2024-01-02" -> 3L), s"got $rows")
+    // TIME TRAVEL to the legacy snapshot must NOT leak the rewrite's files
+    // (they live in the same partition dir under the append-only layout)
+    assert(store2.read(spark, s0.snapshotId).count() == 12,
+      "legacy snapshot read leaked post-rewrite data")
+  }
+
+  test("append mode merges partition entries; replay guard is queryable") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val s1 = store.write(df("2024-01-01" -> 5), "day", "batch-0", append = true)
+    val s2 = store.write(df("2024-01-01" -> 3), "day", "batch-1", append = true)
+    val e1 = s1.partitions.head
+    val e2 = s2.partitions.head
+    assert(e2.rows == 8, "rows must sum")
+    assert(e2.files.take(e1.files.size) == e1.files && e2.files.size > e1.files.size,
+      "entries must merge (parent files retained + new files appended), not replace")
+    assert(store.read(spark).count() == 8)
+    // XOR hash composes: compaction of the appended partition is content-identical
+    val compacted = store.compactPartition(spark, "day", "2024-01-01").partitions.head
+    assert(compacted.contentHash == e2.contentHash && compacted.files.size == 1)
+    // replay guard
+    assert(store.hasCommit("batch-1") && !store.hasCommit("batch-2"))
+    if (!store.hasCommit("batch-1")) store.write(df("2024-01-01" -> 3), "day", "batch-1", append = true)
+    assert(store.read(spark).count() == 8, "replayed lineage must not double-count")
+  }
+
+  test("a FAILED staging write leaks no .stage-* directory") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val boom = org.apache.spark.sql.functions.udf((i: Long) => {
+      if (i >= 0) throw new RuntimeException("boom"); i
+    })
+    import spark.implicits._
+    val bad = df("2024-01-01" -> 4).withColumn("seq", boom(col("seq")))
+    intercept[Exception] { store.write(bad, "day", "in-v1") }
+    val tDir = java.nio.file.Paths.get(s"$base/t")
+    if (Files.isDirectory(tDir)) {
+      val leftovers = java.nio.file.Files.list(tDir)
+      try assert(!leftovers.iterator().asScala.exists(_.getFileName.toString.startsWith(".stage-")),
+        "stage dir leaked after failed write")
+      finally leftovers.close()
+    }
+    // and the table remains writable afterwards
+    store.write(df("2024-01-01" -> 2), "day", "in-v2")
+    assert(store.read(spark).count() == 2)
   }
 
   test("concurrent commits: both writers' partitions survive, ids unique") {
