@@ -76,12 +76,12 @@ object Maintain {
       .map(_.partition)
     var compacted = 0
     for (p <- fragmented) {
-      // a concurrent rewrite (IllegalArgumentException from the validation
-      // require) or drop (RuntimeException from the lookup) of the same
-      // partition aborts this compaction — skip it this cycle rather than
-      // failing the whole maintenance run before expiry gets to run
+      // IllegalStateException = expected concurrency outcome (partition
+      // rewritten or dropped under us) — skip this cycle. Anything else
+      // (IO errors, Spark faults) fails the run loudly rather than being
+      // swallowed into a successful-looking maintenance report.
       try { store.compactPartition(spark, "day", p); compacted += 1 }
-      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
+      catch { case e: IllegalStateException => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
     println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed}""")

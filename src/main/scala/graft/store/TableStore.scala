@@ -79,10 +79,39 @@ final class TableStore(base: String, table: String) {
         .sortBy(_.snapshotId)
 
   /** has a commit with this lineage id already landed? (streaming replay
-    * guard — Iceberg's txnAppId/txnVersion idempotence pattern)
+    * guard — Iceberg's txnAppId/txnVersion idempotence pattern). Consults
+    * the lineage LEDGER as well as live manifests: `expireSnapshots` rolls
+    * expired manifests' lineage ids into the ledger first, so the guard
+    * survives manifest expiry. Full-history scan — callers on a hot path
+    * should gate on `streamWatermark` first (O(1)) and only fall back to
+    * this after a restart.
     */
-  def hasCommit(inputSnapshot: String): Boolean =
-    snapshots.exists(_.inputSnapshot == inputSnapshot)
+  def hasCommit(inputSnapshot: String): Boolean = {
+    val ledger = manifestDir.resolve("lineage.log")
+    val inLedger = Files.exists(ledger) &&
+      scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().contains(inputSnapshot)).getOrElse(false)
+    inLedger || snapshots.exists(_.inputSnapshot == inputSnapshot)
+  }
+
+  // ---- per-stream commit watermarks -----------------------------------------
+  // A streaming writer records the highest batch id it has durably committed;
+  // the fast replay guard is a single O(1) file read instead of a manifest
+  // scan. Single writer per stream id; the update is an atomic rename.
+
+  private def watermarkPath(streamId: String) =
+    manifestDir.resolve(s"watermark-${java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(streamId).toLong & 0xffffffffL)}-${streamId.replaceAll("[^A-Za-z0-9_-]", "_").take(40)}")
+
+  def streamWatermark(streamId: String): Option[Long] = {
+    val p = watermarkPath(streamId)
+    if (!Files.exists(p)) None else Files.readString(p).trim.toLongOption
+  }
+
+  def setStreamWatermark(streamId: String, batchId: Long): Unit = {
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s".tmp-wm-${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, watermarkPath(streamId), java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Parses ONLY the lexically-last manifest (names are zero-padded, so
     * lexical == numeric order) — a per-micro-batch streaming committer calls
@@ -326,6 +355,14 @@ final class TableStore(base: String, table: String) {
         return snap
       } catch {
         case _: FileAlreadyExistsException => attempts += 1 // lost the race; re-merge on new parent
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // filesystem without hard links (some NFS/SMB/FUSE mounts): fall
+          // back to a single-shot CREATE_NEW content write — still a CAS on
+          // the name, with a (documented) tiny visibility window for the body
+          try {
+            Files.writeString(target, ManifestJson.render(snap), StandardOpenOption.CREATE_NEW)
+            return snap
+          } catch { case _: FileAlreadyExistsException => attempts += 1 }
       } finally Files.deleteIfExists(tmp)
     }
     sys.error(s"commit contention: gave up after $attempts attempts on $table")
@@ -342,10 +379,13 @@ final class TableStore(base: String, table: String) {
     * no longer represents current content) — Iceberg's validation failure.
     */
   def compactPartition(spark: SparkSession, partitionCol: String, partition: String, targetFiles: Int = 1): Snapshot = {
-    val parentSnap = currentSnapshot.getOrElse(sys.error("nothing to compact: no snapshot"))
+    // IllegalStateException = expected concurrency outcome (partition gone /
+    // changed) — callers like jobs.Maintain skip these without masking real
+    // faults (IO errors, Spark failures) behind a broad catch
+    val parentSnap = currentSnapshot.getOrElse(throw new IllegalStateException("nothing to compact: no snapshot"))
     val entry = parentSnap.partitions
       .find(_.partition == partition)
-      .getOrElse(sys.error(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
+      .getOrElse(throw new IllegalStateException(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
     val provisionalId = parentSnap.snapshotId + 1
 
     val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
@@ -366,10 +406,8 @@ final class TableStore(base: String, table: String) {
       parentSnap.inputSnapshot,
       parent => {
         val nowEntry = parent.flatMap(_.partitions.find(_.partition == partition))
-        require(
-          nowEntry.exists(_.files == entry.files),
-          s"compaction of $table/$partition aborted: partition changed concurrently"
-        )
+        if (!nowEntry.exists(_.files == entry.files))
+          throw new IllegalStateException(s"compaction of $table/$partition aborted: partition changed concurrently")
         (parent.map(_.partitions.filterNot(_.partition == partition)).getOrElse(Seq.empty) ++ fresh)
           .sortBy(_.partition)
       }
@@ -401,9 +439,27 @@ final class TableStore(base: String, table: String) {
     if (all.isEmpty) return 0
     val kept = all.takeRight(math.max(1, keepLast))
     val referenced = kept.flatMap(s => s.partitions.flatMap(_.files)).toSet
+    val expiring = all.dropRight(math.max(1, keepLast))
+    // BEFORE deleting, roll the expiring manifests' lineage ids into the
+    // ledger so hasCommit (streaming replay guard) survives expiry; a crash
+    // between append and delete leaves both — harmless duplicates
+    if (expiring.nonEmpty)
+      Files.writeString(
+        manifestDir.resolve("lineage.log"),
+        expiring.map(_.inputSnapshot).mkString("", "\n", "\n"),
+        StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND
+      )
     // delete expired manifests
-    for (s <- all.dropRight(math.max(1, keepLast)))
+    for (s <- expiring)
       Files.deleteIfExists(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json"))
+    // sweep orphaned commit temp files (a kill between tmp write and the
+    // finally leaks them; nothing else reclaims .tmp-*) — age-gated so a
+    // concurrent in-flight commit's tmp is never touched
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq).foreach { p =>
+      if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+    }
     // delete unreferenced data files (only snapshot-prefixed files are
     // manifest-tracked; leave any legacy files alone)
     val dd = Paths.get(dataDir)

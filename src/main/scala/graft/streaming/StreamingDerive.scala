@@ -59,23 +59,37 @@ object StreamingDerive {
     * concurrent batch writers (optimistic CREATE_NEW retry). Fragmentation
     * from one-file-per-batch appends is bounded by `jobs.Maintain`.
     */
-  def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] =
+  def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] = {
+    // stream identity = the checkpoint location (stable across restarts of
+    // THIS stream, distinct per stream): batch ids alone collide across
+    // streams/checkpoint resets — Iceberg's txnAppId+txnVersion pattern
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     derived.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val store = new graft.store.TableStore(base, s"tier_$tier")
-        val lineage = s"stream-batch-$id"
-        // REPLAY guard (Iceberg txn idempotence): after a crash between the
-        // store commit and the stream's offset commit, foreachBatch re-runs
-        // the same batch id — appending it twice would double-count rows
-        if (!store.hasCommit(lineage)) {
-          // persist: isEmpty and the staged write would otherwise each
-          // re-execute the micro-batch's full plan
-          val b = batch.persist()
-          try if (!b.isEmpty) { store.write(graft.store.TierBuilder.withDay(b), "day", lineage, append = true); () }
-          finally b.unpersist()
-        }
+        appendBatch(new graft.store.TableStore(base, s"tier_$tier"), batch, streamId, id)
       }
+  }
+
+  /** One micro-batch → one idempotent append commit. REPLAY guard (a crash
+    * between the store commit and the stream's offset commit re-runs the
+    * same batch id): the O(1) fast path is the per-stream commit watermark;
+    * the manifest/ledger scan (`hasCommit`) only runs for batches at-or-near
+    * the watermark after a restart. Empty batches advance the watermark
+    * without committing a snapshot.
+    */
+  private[graft] def appendBatch(store: graft.store.TableStore, batch: DataFrame, streamId: String, id: Long): Unit = {
+    if (store.streamWatermark(streamId).exists(_ >= id)) return
+    val lineage = s"stream-$streamId-batch-$id"
+    if (store.hasCommit(lineage)) { store.setStreamWatermark(streamId, id); return }
+    // persist: isEmpty and the staged write would otherwise each re-execute
+    // the micro-batch's full plan
+    val b = batch.persist()
+    try if (!b.isEmpty) { store.write(graft.store.TierBuilder.withDay(b), "day", lineage, append = true); () }
+    finally b.unpersist()
+    store.setStreamWatermark(streamId, id)
+  }
 }

@@ -78,10 +78,40 @@ class TableStoreSpec extends SparkTestBase {
     // XOR hash composes: compaction of the appended partition is content-identical
     val compacted = store.compactPartition(spark, "day", "2024-01-01").partitions.head
     assert(compacted.contentHash == e2.contentHash && compacted.files.size == 1)
-    // replay guard
     assert(store.hasCommit("batch-1") && !store.hasCommit("batch-2"))
-    if (!store.hasCommit("batch-1")) store.write(df("2024-01-01" -> 3), "day", "batch-1", append = true)
-    assert(store.read(spark).count() == 8, "replayed lineage must not double-count")
+  }
+
+  test("streaming replay: re-delivered batch id commits exactly once") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    val batch = Seq(("sc", "m", 1700000000L, 1.0), ("sc", "m", 1700000060L, 2.0))
+      .toDF("scope", "metric", "bucket", "value")
+    graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
+    val afterFirst = store.read(spark).count()
+    assert(afterFirst == 2)
+    // crash-replay: foreachBatch re-invokes with the SAME id → no-op
+    graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
+    assert(store.read(spark).count() == 2, "replayed batch double-counted")
+    assert(store.snapshots.size == 1, "replay must not add a snapshot")
+    // restart-replay with the watermark file REMOVED (cold state) still
+    // dedupes via the manifest lineage scan, then restores the watermark
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/tier_x/_manifests")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.delete)
+    graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
+    assert(store.read(spark).count() == 2 && store.streamWatermark("q1").contains(0L))
+    // a DIFFERENT stream's batch 0 is NOT confused with q1's
+    graft.streaming.StreamingDerive.appendBatch(store, batch, "q2", 0L)
+    assert(store.read(spark).count() == 4, "distinct stream must commit")
+    // guard survives manifest expiry: compact (new snapshot), expire to 1,
+    // then replay q1 batch 0 again — ledger keeps it deduped
+    store.compactPartition(spark, "day", store.currentSnapshot.get.partitions.head.partition)
+    store.expireSnapshots(keepLast = 1)
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/tier_x/_manifests")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.delete)
+    graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
+    assert(store.read(spark).count() == 4, "expired-manifest lineage must still dedupe (ledger)")
   }
 
   test("a FAILED staging write leaks no .stage-* directory") {
