@@ -191,13 +191,18 @@ object TextOps {
   }
 
   /** Dedup completion: connected components over near-duplicate PAIRS (from
-    * ngramJaccardPairs / minHashCandidatePairs / Ann.nearDupPairs) via
-    * iterative min-label propagation — each doc's label converges to the
-    * smallest doc_id in its component, `keep` marks the canonical survivor.
-    * Near-dup components have small diameter, so convergence is a handful of
-    * iterations; each iteration is one shuffle join + aggregate, lineage cut
-    * by localCheckpoint (the standard GraphX-free CC at scale; swap in
-    * large-star/small-star if components with huge diameter ever appear).
+    * ngramJaccardPairs / minHashCandidatePairs / Ann.nearDupPairs) —
+    * min-label propagation WITH pointer jumping (path halving): every round
+    * propagates labels across edges, then shortcuts label := label(label).
+    * Plain propagation needs O(diameter) shuffle rounds — a 100-doc
+    * transitive near-dup chain (common in crawl data) would exhaust maxIter
+    * and silently return WRONG groups; with the jump the label distance
+    * halves each round, so maxIter = 20 covers ~10^6-diameter components.
+    * Non-convergence now throws instead of returning partial labels.
+    * Each doc's label converges to the smallest doc_id in its component;
+    * `keep` marks the canonical survivor. Each round = two payload-light
+    * (id, label) shuffle joins + an aggregate, lineage cut by
+    * localCheckpoint (GraphX-free CC at scale).
     */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the pair set ONCE — the two union branches below would
@@ -224,18 +229,27 @@ object TextOps {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("_nl"))
-      val next = labels
+      val propagated = labels
         .join(prop, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          col("label").as("_prev"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label")
+        .select(col("id"), col("label").as("_prev"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+      // pointer jump: label := label(label) — every label value is itself an
+      // id in the table, so chains collapse exponentially (path halving)
+      val next = propagated
+        .join(
+          propagated.select(col("id").as("label"), col("label").as("_ll")),
+          Seq("label"),
+          "left_outer"
         )
+        .select(col("id"), col("_prev"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.where(col("label") =!= col("_prev")).isEmpty
       labels = next.select("id", "label")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge in $maxIter rounds — component diameter exceeds ~2^$maxIter?"
+      )
     labels
       .withColumnRenamed("label", "group_id")
       .withColumn("keep", col("id") === col("group_id"))

@@ -149,6 +149,17 @@ class OpsSpec extends SparkTestBase {
     assert(groups.filter(_._2._2).keySet == Set(1L, 10L, 20L), "keep = component min")
   }
 
+  test("dedupGroups: 60-node CHAIN converges within default rounds (pointer jumping)") {
+    val s = spark
+    import s.implicits._
+    // plain min-label propagation needs O(diameter)=60 rounds here and
+    // would throw at maxIter=20; path halving collapses it
+    val chain = (0 until 59).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+    val groups = TextOps.dedupGroups(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 60 && groups.values.forall(_ == 100L), s"got ${groups.values.toSet}")
+  }
+
   test("dedupGroups converges on adversarial near-Long.Max ids (no Σ overflow)") {
     val s = spark
     import s.implicits._
