@@ -76,12 +76,13 @@ object Maintain {
       .map(_.partition)
     var compacted = 0
     for (p <- fragmented) {
-      // IllegalStateException = expected concurrency outcome (partition
-      // rewritten or dropped under us) — skip this cycle. Anything else
-      // (IO errors, Spark faults) fails the run loudly rather than being
+      // ConcurrentTableModification = expected concurrency outcome
+      // (partition rewritten or dropped under us) — skip this cycle.
+      // Anything else (IO errors, Spark faults — which can surface as
+      // IllegalStateException too) fails the run loudly rather than being
       // swallowed into a successful-looking maintenance report.
       try { store.compactPartition(spark, "day", p); compacted += 1 }
-      catch { case e: IllegalStateException => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
+      catch { case e: graft.store.ConcurrentTableModification => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
     println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed}""")

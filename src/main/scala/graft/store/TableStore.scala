@@ -52,6 +52,13 @@ final case class Snapshot(
     partitions: Seq[PartitionManifest]
 )
 
+/** expected concurrency outcome (partition rewritten/dropped under an
+  * optimistic operation) — a DEDICATED type so callers like `jobs.Maintain`
+  * can skip exactly these without masking real faults (Spark itself throws
+  * IllegalStateException for fatal conditions like a stopped SparkContext).
+  */
+final class ConcurrentTableModification(msg: String) extends RuntimeException(msg)
+
 final class TableStore(base: String, table: String) {
 
   private def dataDir = s"$base/$table/data"
@@ -87,10 +94,16 @@ final class TableStore(base: String, table: String) {
     * this after a restart.
     */
   def hasCommit(inputSnapshot: String): Boolean = {
+    // order matters vs a concurrent expireSnapshots (which appends to the
+    // ledger BEFORE deleting manifests): reading manifests first means a
+    // lineage mid-expiry is found either live (manifest not yet deleted) or
+    // in the ledger (append already happened) — never missed. A ledger read
+    // FAILURE propagates: answering "not committed" on an IO error would
+    // green-light a double commit.
+    if (snapshots.exists(_.inputSnapshot == inputSnapshot)) return true
     val ledger = manifestDir.resolve("lineage.log")
-    val inLedger = Files.exists(ledger) &&
-      scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().contains(inputSnapshot)).getOrElse(false)
-    inLedger || snapshots.exists(_.inputSnapshot == inputSnapshot)
+    Files.exists(ledger) &&
+    scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().contains(inputSnapshot)).get
   }
 
   // ---- per-stream commit watermarks -----------------------------------------
@@ -355,10 +368,13 @@ final class TableStore(base: String, table: String) {
         return snap
       } catch {
         case _: FileAlreadyExistsException => attempts += 1 // lost the race; re-merge on new parent
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // filesystem without hard links (some NFS/SMB/FUSE mounts): fall
-          // back to a single-shot CREATE_NEW content write — still a CAS on
-          // the name, with a (documented) tiny visibility window for the body
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: fall back to a single-shot
+          // CREATE_NEW content write — still a CAS on the name, with a
+          // (documented) tiny visibility window for the body. ONLY the
+          // explicit no-link-support signal reroutes here; transient IO
+          // errors (where the link may actually have landed) must fail
+          // loudly — retrying them would re-merge onto our own commit.
           try {
             Files.writeString(target, ManifestJson.render(snap), StandardOpenOption.CREATE_NEW)
             return snap
@@ -379,13 +395,10 @@ final class TableStore(base: String, table: String) {
     * no longer represents current content) — Iceberg's validation failure.
     */
   def compactPartition(spark: SparkSession, partitionCol: String, partition: String, targetFiles: Int = 1): Snapshot = {
-    // IllegalStateException = expected concurrency outcome (partition gone /
-    // changed) — callers like jobs.Maintain skip these without masking real
-    // faults (IO errors, Spark failures) behind a broad catch
-    val parentSnap = currentSnapshot.getOrElse(throw new IllegalStateException("nothing to compact: no snapshot"))
+    val parentSnap = currentSnapshot.getOrElse(throw new ConcurrentTableModification("nothing to compact: no snapshot"))
     val entry = parentSnap.partitions
       .find(_.partition == partition)
-      .getOrElse(throw new IllegalStateException(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
+      .getOrElse(throw new ConcurrentTableModification(s"no partition $partition in snapshot ${parentSnap.snapshotId}"))
     val provisionalId = parentSnap.snapshotId + 1
 
     val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
@@ -407,7 +420,7 @@ final class TableStore(base: String, table: String) {
       parent => {
         val nowEntry = parent.flatMap(_.partitions.find(_.partition == partition))
         if (!nowEntry.exists(_.files == entry.files))
-          throw new IllegalStateException(s"compaction of $table/$partition aborted: partition changed concurrently")
+          throw new ConcurrentTableModification(s"compaction of $table/$partition aborted: partition changed concurrently")
         (parent.map(_.partitions.filterNot(_.partition == partition)).getOrElse(Seq.empty) ++ fresh)
           .sortBy(_.partition)
       }

@@ -60,11 +60,13 @@ object StreamingDerive {
     * from one-file-per-batch appends is bounded by `jobs.Maintain`.
     */
   def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] = {
-    // stream identity = the checkpoint location (stable across restarts of
-    // THIS stream, distinct per stream): batch ids alone collide across
+    // stream identity = the NORMALIZED checkpoint location (stable across
+    // restarts of THIS stream even under relative-vs-absolute/trailing-slash
+    // spellings, distinct per stream): batch ids alone collide across
     // streams/checkpoint resets — Iceberg's txnAppId+txnVersion pattern
+    val canonical = java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize.toString
     val streamId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     derived.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -74,17 +76,38 @@ object StreamingDerive {
       }
   }
 
+  /** streams whose first batch THIS process has already replay-checked:
+    * foreachBatch never re-delivers a batch within one run (only across
+    * restarts), so after one hasCommit probe per (process, stream) the hot
+    * path is watermark-only — O(1) per batch, no manifest/ledger scans.
+    */
+  private val replayChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** test hook: simulate a process restart (forget which streams were
+    * replay-checked) — production code never calls this
+    */
+  private[graft] def forgetReplayChecks(): Unit = replayChecked.clear()
+
   /** One micro-batch → one idempotent append commit. REPLAY guard (a crash
     * between the store commit and the stream's offset commit re-runs the
-    * same batch id): the O(1) fast path is the per-stream commit watermark;
-    * the manifest/ledger scan (`hasCommit`) only runs for batches at-or-near
-    * the watermark after a restart. Empty batches advance the watermark
-    * without committing a snapshot.
+    * same batch id): fast path = per-stream commit watermark (one file
+    * read); the manifest/ledger scan (`hasCommit`) runs at most ONCE per
+    * stream per process — replays only ever arrive as the first batch after
+    * a restart. Empty batches advance the watermark without committing.
     */
   private[graft] def appendBatch(store: graft.store.TableStore, batch: DataFrame, streamId: String, id: Long): Unit = {
-    if (store.streamWatermark(streamId).exists(_ >= id)) return
+    if (store.streamWatermark(streamId).exists(_ >= id)) { replayChecked.add(streamId); return }
     val lineage = s"stream-$streamId-batch-$id"
-    if (store.hasCommit(lineage)) { store.setStreamWatermark(streamId, id); return }
+    if (replayChecked.add(streamId)) {
+      // first batch this process sees for this stream: it may be a replay
+      // whose commit landed but whose watermark write was lost to a crash.
+      // Also probe the pre-streamId lineage format for commits made by
+      // older builds (upgrade compatibility).
+      if (store.hasCommit(lineage) || store.hasCommit(s"stream-batch-$id")) {
+        store.setStreamWatermark(streamId, id)
+        return
+      }
+    }
     // persist: isEmpty and the staged write would otherwise each re-execute
     // the micro-batch's full plan
     val b = batch.persist()

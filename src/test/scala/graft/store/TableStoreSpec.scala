@@ -95,10 +95,11 @@ class TableStoreSpec extends SparkTestBase {
     graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
     assert(store.read(spark).count() == 2, "replayed batch double-counted")
     assert(store.snapshots.size == 1, "replay must not add a snapshot")
-    // restart-replay with the watermark file REMOVED (cold state) still
-    // dedupes via the manifest lineage scan, then restores the watermark
-    java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/tier_x/_manifests")).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.delete)
+    // restart-replay with the watermark file REMOVED (cold state, fresh
+    // process) still dedupes via the manifest lineage scan, then restores
+    // the watermark
+    deleteWatermarks(base)
+    graft.streaming.StreamingDerive.forgetReplayChecks()
     graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
     assert(store.read(spark).count() == 2 && store.streamWatermark("q1").contains(0L))
     // a DIFFERENT stream's batch 0 is NOT confused with q1's
@@ -108,10 +109,17 @@ class TableStoreSpec extends SparkTestBase {
     // then replay q1 batch 0 again — ledger keeps it deduped
     store.compactPartition(spark, "day", store.currentSnapshot.get.partitions.head.partition)
     store.expireSnapshots(keepLast = 1)
-    java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/tier_x/_manifests")).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.delete)
+    deleteWatermarks(base)
+    graft.streaming.StreamingDerive.forgetReplayChecks()
     graft.streaming.StreamingDerive.appendBatch(store, batch, "q1", 0L)
     assert(store.read(spark).count() == 4, "expired-manifest lineage must still dedupe (ledger)")
+  }
+
+  private def deleteWatermarks(base: String): Unit = {
+    val dir = java.nio.file.Paths.get(s"$base/tier_x/_manifests")
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.delete)
+    finally s.close()
   }
 
   test("a FAILED staging write leaks no .stage-* directory") {
