@@ -14,10 +14,8 @@ object ChunkTables {
   private val encodeUdf =
     udf((ts: Seq[Long], vs: Seq[Double]) => ChunkCodec.encode(ts.toArray, vs.toArray))
 
-  private val decodeUdf = udf { (chunk: Array[Byte]) =>
-    val (ts, vs) = ChunkCodec.decode(chunk)
-    ts.zip(vs).map { case (t, v) => (t, v) }
-  }
+  // decode path is a native Generator (graft.functions.ChunkExplode) — the
+  // former udf→Seq→explode pipeline copied every chunk twice before emitting
 
   /** points (scope, metric, bucket, value) → chunks (scope, metric,
     * chunk_start, n_points, min_bucket, max_bucket, data BINARY)
@@ -46,7 +44,9 @@ object ChunkTables {
     * on time predicates before any decode happens.
     */
   def unpack(chunks: DataFrame): DataFrame =
-    chunks
-      .select(col("scope"), col("metric"), explode(decodeUdf(col("data"))).as("_p"))
-      .select(col("scope"), col("metric"), col("_p._1").as("bucket"), col("_p._2").as("value"))
+    chunks.select(
+      col("scope"),
+      col("metric"),
+      graft.functions.ChunkExplode.chunkExplode(col("data"))
+    )
 }

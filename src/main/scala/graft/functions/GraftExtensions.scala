@@ -33,5 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    // cosine_similarity(a, b) — composed from the native expressions, same
+    // semantics as graft.ann.Ann.cosine (ANSI division; zero-norm input is
+    // the caller's error, as in the DataFrame API)
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
+          import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+          val (a, b) = (children.head, children(1))
+          Divide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
+        }
+      )
+    )
   }
 }

@@ -50,6 +50,41 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r == 32.0)
   }
 
+  test("chunk_explode: native generator decodes chunks, rejects non-binary, skips nulls") {
+    val s = spark
+    import s.implicits._
+    val ts = Array(1000L, 1060L, 1120L)
+    val vs = Array(1.5, 2.5, -3.25)
+    val chunk = graft.codec.ChunkCodec.encode(ts, vs)
+    val df = Seq(("a", chunk), ("b", null.asInstanceOf[Array[Byte]])).toDF("scope", "data")
+    val out = df.select(col("scope"), ChunkExplode.chunkExplode(col("data")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 1000L, 1.5), ("a", 1060L, 2.5), ("a", 1120L, -3.25)),
+      out.toSeq.toString) // null chunk → zero rows, like explode(null)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ChunkExplode.chunkExplode(col("scope"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"), e.getMessage)
+  }
+
+  test("cosine_similarity SQL function composes the native expressions") {
+    val s = spark
+    import s.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // exercise the injection path
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Divide(DotProduct(children.head, children(1)), Multiply(Sqrt(SquaredNorm(children.head)), Sqrt(SquaredNorm(children(1)))))
+    )
+    Seq((Array(1.0, 0.0), Array(1.0, 0.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b").createOrReplaceTempView("v_cos")
+    val got = spark.sql("SELECT cosine_similarity(a, b) AS c FROM v_cos").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0), got.toString)
+  }
+
   test("non-double arrays are an ANALYSIS error, not silent garbage") {
     val s = spark
     import s.implicits._
