@@ -10,6 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
+object GraftExtensions {
+  // builders shared by the injection below AND the specs (a test registering
+  // its own copy would not catch a bug in the injected one)
+  private[graft] def buildDotProduct(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "dot_product(a, b) takes two array<double> arguments")
+    DotProduct(children.head, children(1))
+  }
+  private[graft] def buildSquaredNorm(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "squared_norm(a) takes one array<double> argument")
+    SquaredNorm(children.head)
+  }
+  private[graft] def buildCosine(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    val (a, b) = (children.head, children(1))
+    Divide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,20 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         new FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-        (children: Seq[Expression]) => {
-          require(children.length == 2, "dot_product(a, b) takes two array<double> arguments")
-          DotProduct(children.head, children(1))
-        }
+        GraftExtensions.buildDotProduct _
       )
     )
     ext.injectFunction(
       (
         new FunctionIdentifier("squared_norm"),
         new ExpressionInfo(classOf[SquaredNorm].getName, "squared_norm"),
-        (children: Seq[Expression]) => {
-          require(children.length == 1, "squared_norm(a) takes one array<double> argument")
-          SquaredNorm(children.head)
-        }
+        GraftExtensions.buildSquaredNorm _
       )
     )
     // cosine_similarity(a, b) — composed from the native expressions, same
@@ -40,12 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         new FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
-        (children: Seq[Expression]) => {
-          require(children.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
-          import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
-          val (a, b) = (children.head, children(1))
-          Divide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
-        }
+        GraftExtensions.buildCosine _
       )
     )
   }

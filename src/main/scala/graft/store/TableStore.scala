@@ -82,7 +82,14 @@ final class TableStore(base: String, table: String) {
       listDir(manifestDir)(
         _.filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
       ).sortBy(_.getFileName.toString)
-        .map(p => ManifestJson.parse(Files.readString(p)))
+        .flatMap { p =>
+          // a concurrent expireSnapshots may delete a manifest between the
+          // listing and this read — skip it (that is exactly the post-expiry
+          // state; its lineage id is already in the ledger, appended BEFORE
+          // the delete)
+          try Some(ManifestJson.parse(Files.readString(p)))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
         .sortBy(_.snapshotId)
 
   /** has a commit with this lineage id already landed? (streaming replay
@@ -361,24 +368,33 @@ final class TableStore(base: String, table: String) {
       // snapshot name with createLink — POSIX link(2) fails atomically with
       // EEXIST, and the linked content is complete by construction.
       val target = manifestDir.resolve(f"snapshot-${snap.snapshotId}%09d.json")
+      val rendered = ManifestJson.render(snap)
       val tmp = manifestDir.resolve(s".tmp-${java.util.UUID.randomUUID}.json")
-      Files.writeString(tmp, ManifestJson.render(snap), StandardOpenOption.CREATE_NEW)
+      Files.writeString(tmp, rendered, StandardOpenOption.CREATE_NEW)
       try {
         Files.createLink(target, tmp)
         return snap
       } catch {
         case _: FileAlreadyExistsException => attempts += 1 // lost the race; re-merge on new parent
-        case _: UnsupportedOperationException =>
-          // filesystem without hard links: fall back to a single-shot
-          // CREATE_NEW content write — still a CAS on the name, with a
-          // (documented) tiny visibility window for the body. ONLY the
-          // explicit no-link-support signal reroutes here; transient IO
-          // errors (where the link may actually have landed) must fail
-          // loudly — retrying them would re-merge onto our own commit.
-          try {
-            Files.writeString(target, ManifestJson.render(snap), StandardOpenOption.CREATE_NEW)
-            return snap
-          } catch { case _: FileAlreadyExistsException => attempts += 1 }
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // Ambiguous link failure. Three real cases, disambiguated by
+          // looking at the target (the Unix provider reports a no-hardlink
+          // mount as FileSystemException/EPERM, never UnsupportedOperation,
+          // and an NFS timeout can fail client-side AFTER the link landed):
+          //   1. target holds OUR content → the link actually landed: done.
+          //   2. target holds other content → we lost a race: retry/re-merge.
+          //   3. no target → links unsupported here: single-shot CREATE_NEW
+          //      content write (still a CAS on the name, tiny body-visibility
+          //      window documented).
+          if (Files.exists(target)) {
+            if (Files.readString(target) == rendered) return snap
+            attempts += 1
+          } else {
+            try {
+              Files.writeString(target, rendered, StandardOpenOption.CREATE_NEW)
+              return snap
+            } catch { case _: FileAlreadyExistsException => attempts += 1 }
+          }
       } finally Files.deleteIfExists(tmp)
     }
     sys.error(s"commit contention: gave up after $attempts attempts on $table")

@@ -63,8 +63,13 @@ object StreamingDerive {
     // stream identity = the NORMALIZED checkpoint location (stable across
     // restarts of THIS stream even under relative-vs-absolute/trailing-slash
     // spellings, distinct per stream): batch ids alone collide across
-    // streams/checkpoint resets — Iceberg's txnAppId+txnVersion pattern
-    val canonical = java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize.toString
+    // streams/checkpoint resets — Iceberg's txnAppId+txnVersion pattern.
+    // URI checkpoints (hdfs://, s3a://, file:) are NOT local paths — running
+    // them through Paths.get would prefix the driver's cwd and make stream
+    // identity cwd-dependent; they pass through verbatim.
+    val canonical =
+      if (checkpoint.contains(":/")) checkpoint.stripSuffix("/")
+      else java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize.toString
     val streamId = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     derived.writeStream
@@ -76,43 +81,48 @@ object StreamingDerive {
       }
   }
 
-  /** streams whose first batch THIS process has already replay-checked:
-    * foreachBatch never re-delivers a batch within one run (only across
-    * restarts), so after one hasCommit probe per (process, stream) the hot
-    * path is watermark-only — O(1) per batch, no manifest/ledger scans.
+  /** highest batch id COMMITTED by this process per stream — covers the
+    * window where the store commit landed but the watermark write (or the
+    * query itself) died: a same-JVM query restart replays that id and this
+    * map repairs the watermark instead of double-committing. A fresh
+    * process has no entry and probes the durable lineage instead.
     */
-  private val replayChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val inProcessCommitted = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** test hook: simulate a process restart (forget which streams were
-    * replay-checked) — production code never calls this
-    */
-  private[graft] def forgetReplayChecks(): Unit = replayChecked.clear()
+  /** test hook: simulate a process restart — production code never calls this */
+  private[graft] def forgetReplayChecks(): Unit = inProcessCommitted.clear()
 
   /** One micro-batch → one idempotent append commit. REPLAY guard (a crash
     * between the store commit and the stream's offset commit re-runs the
     * same batch id): fast path = per-stream commit watermark (one file
-    * read); the manifest/ledger scan (`hasCommit`) runs at most ONCE per
-    * stream per process — replays only ever arrive as the first batch after
-    * a restart. Empty batches advance the watermark without committing.
+    * read); same-JVM query restarts are repaired from `inProcessCommitted`;
+    * the manifest/ledger scan (`hasCommit`) runs only while this process
+    * has not yet committed anything for the stream — at most the first
+    * batch after a process restart. Empty batches advance the watermark
+    * without committing a snapshot.
     */
   private[graft] def appendBatch(store: graft.store.TableStore, batch: DataFrame, streamId: String, id: Long): Unit = {
-    if (store.streamWatermark(streamId).exists(_ >= id)) { replayChecked.add(streamId); return }
+    if (store.streamWatermark(streamId).exists(_ >= id)) return
     val lineage = s"stream-$streamId-batch-$id"
-    if (replayChecked.add(streamId)) {
-      // first batch this process sees for this stream: it may be a replay
-      // whose commit landed but whose watermark write was lost to a crash.
-      // Also probe the pre-streamId lineage format for commits made by
-      // older builds (upgrade compatibility).
-      if (store.hasCommit(lineage) || store.hasCommit(s"stream-batch-$id")) {
-        store.setStreamWatermark(streamId, id)
-        return
-      }
+    val mem = Option(inProcessCommitted.get(streamId)).map(_.longValue)
+    if (mem.exists(_ >= id)) {
+      // this process already committed the batch; only the watermark write
+      // was lost — repair it, don't re-append
+      store.setStreamWatermark(streamId, id)
+      return
+    }
+    if (mem.isEmpty && store.hasCommit(lineage)) {
+      // fresh process replaying a batch whose commit landed pre-crash
+      store.setStreamWatermark(streamId, id)
+      inProcessCommitted.put(streamId, id)
+      return
     }
     // persist: isEmpty and the staged write would otherwise each re-execute
     // the micro-batch's full plan
     val b = batch.persist()
     try if (!b.isEmpty) { store.write(graft.store.TierBuilder.withDay(b), "day", lineage, append = true); () }
     finally b.unpersist()
+    inProcessCommitted.put(streamId, id)
     store.setStreamWatermark(streamId, id)
   }
 }

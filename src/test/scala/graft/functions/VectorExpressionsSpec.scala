@@ -42,8 +42,7 @@ class VectorExpressionsSpec extends SparkTestBase {
     spark.sessionState.functionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children.head, children(1))
+      GraftExtensions.buildDotProduct _ // the PRODUCTION builder, not a test copy
     )
     Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b").createOrReplaceTempView("v_dot")
     val r = spark.sql("SELECT dot_product(a, b) AS d FROM v_dot").head.getDouble(0)
@@ -72,12 +71,10 @@ class VectorExpressionsSpec extends SparkTestBase {
     import s.implicits._
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // exercise the injection path
-    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
     spark.sessionState.functionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Divide(DotProduct(children.head, children(1)), Multiply(Sqrt(SquaredNorm(children.head)), Sqrt(SquaredNorm(children(1)))))
+      GraftExtensions.buildCosine _ // the PRODUCTION builder, not a test copy
     )
     Seq((Array(1.0, 0.0), Array(1.0, 0.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
       .toDF("a", "b").createOrReplaceTempView("v_cos")
