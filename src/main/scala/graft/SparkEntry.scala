@@ -39,7 +39,9 @@ object SparkEntry {
         .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
         .map(_.resolve("target/fixtures").toString)
     }.getOrElse(java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString)
-    s"$base/media_corpus.parquet"
+    // version suffix: bump when syntheticMedia's content changes so a stale
+    // materialization from an older build is never picked up (v2 = real WAVs)
+    s"$base/media_corpus_v2.parquet"
   }
 
   private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {

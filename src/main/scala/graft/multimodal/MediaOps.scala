@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * mapInPandas — one JVM pass per partition over an iterator of rows, so a
   * real codec would amortize its setup per batch exactly like a Pandas UDF).
   *
-  * IMAGE decode is REAL: `ImageCodec` uses the JDK's `javax.imageio`
-  * (PNG/JPEG need no external library) — bytes → pixels → luma features,
-  * and nearest-neighbor resize. Only AUDIO/VIDEO byte→samples decode remains
-  * a clearly marked STUB (`FakeCodec`): no audio/video codecs exist in this
-  * container, so it is a deterministic pure function of the bytes. The
-  * surrounding dataflow — schema, partitioning, batch iteration, feature/
-  * resize/frame-sample plans — is identical for both; swapping FakeCodec
-  * for e.g. a JNI ffmpeg binding changes no plan shape.
+  * IMAGE decode is REAL (`ImageCodec`, JDK `javax.imageio`: bytes → pixels
+  * → luma features + nearest-neighbor resize) and AUDIO decode is REAL
+  * (`AudioCodec`, JDK `javax.sound.sampled`: WAV → PCM samples → band RMS
+  * features). Only VIDEO byte→frames decode remains a clearly marked STUB
+  * (`FakeCodec`): the JDK has no H.264/VP9 decoder, so it is a
+  * deterministic pure function of the bytes. The surrounding dataflow —
+  * schema, partitioning, batch iteration, feature/resize/frame-sample
+  * plans — is identical for all three; swapping FakeCodec for e.g. a JNI
+  * ffmpeg binding changes no plan shape.
   */
 object MediaOps {
 
@@ -33,11 +34,12 @@ object MediaOps {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ======== STUB BOUNDARY (audio/video ONLY — images use ImageCodec) ======
-    * A real implementation decodes bytes with an audio/video codec. This
-    * deterministic fake stands in: "samples" are a keyed byte expansion,
-    * features are a fixed-width fold of the bytes. Replace with a codec
-    * binding; signatures stay identical.
+  /** ======== STUB BOUNDARY (VIDEO only — images use ImageCodec, audio uses
+    * AudioCodec) ==============================================================
+    * A real implementation decodes container bytes with a video codec. This
+    * deterministic fake stands in: "frames" are byte slices, features are a
+    * fixed-width fold of the bytes. Replace with a codec binding;
+    * signatures stay identical.
     */
   object FakeCodec {
     def decode(media: Array[Byte]): Array[Byte] = media // identity "decode"
@@ -73,16 +75,18 @@ object MediaOps {
           case 1 => "audio/wav"
           case _ => "video/mp4"
         }
-        // image rows carry REAL (decodable) PNG bytes; audio/video rows
-        // carry seeded opaque bytes for the FakeCodec stub path
-        val bytes =
-          if (id % 3 == 0) ImageCodec.syntheticPng(seed = id, w = w, h = 16)
-          else {
+        // image rows carry REAL (decodable) PNG bytes and audio rows REAL
+        // WAV bytes; only video rows carry seeded opaque bytes for the
+        // FakeCodec stub path
+        val bytes = (id % 3) match {
+          case 0 => ImageCodec.syntheticPng(seed = id, w = w, h = 16)
+          case 1 => AudioCodec.syntheticWav(seed = id, nSamples = 400 + (id % 400).toInt)
+          case _ =>
             val rnd = new scala.util.Random(id) // seeded per-row: deterministic
             val b = new Array[Byte](256 + (id % 512).toInt)
             rnd.nextBytes(b)
             b
-          }
+        }
         MediaDoc(id, mime, bytes, w, 16, 1000 * (1 + (id % 30)).toInt)
       }
   }
@@ -98,7 +102,8 @@ object MediaOps {
       batch.map { d =>
         val f =
           if (d.mime.startsWith("image/")) ImageCodec.features(d.media, dims) // REAL decode
-          else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (audio/video)
+          else if (d.mime.startsWith("audio/")) AudioCodec.features(d.media, dims) // REAL decode
+          else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (video only)
         MediaFeature(d.doc_id, d.mime, f)
       }
     }

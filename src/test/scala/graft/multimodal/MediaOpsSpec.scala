@@ -74,6 +74,26 @@ class MediaOpsSpec extends SparkTestBase {
     assert(dimg.getWidth == doc.width && dimg.getHeight == doc.height)
   }
 
+  test("AudioCodec: WAV roundtrip via the JDK parser, band energies match known waveform") {
+    // hand-rolled container must decode through the REAL javax.sound parser
+    val wav = AudioCodec.syntheticWav(seed = 7, nSamples = 800)
+    val samples = AudioCodec.decode(wav)
+    assert(samples.length == 800)
+    // known waveform: first half silence, second half full-scale square →
+    // 2-band RMS ≈ [0, 1]
+    val pcm = Array.tabulate(600)(i => if (i < 300) 0.toShort else (if (i % 2 == 0) Short.MaxValue else (-Short.MaxValue).toShort))
+    val bb = java.nio.ByteBuffer.allocate(44 + 1200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 1200).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(1200)
+    pcm.foreach(bb.putShort)
+    val f = AudioCodec.features(bb.array(), dims = 2)
+    assert(math.abs(f(0)) < 1e-6f && math.abs(f(1) - 1.0f) < 1e-4f, f.toSeq.toString)
+    // synthetic corpus: audio rows really decode
+    val doc = MediaOps.syntheticMedia(spark, 3).collect().find(_.mime == "audio/wav").get
+    assert(AudioCodec.decode(doc.media).length > 0)
+  }
+
   test("ImageCodec resize: nearest-neighbor picks exact source pixels") {
     // 4×4 quadrant image downsampled to 2×2 must pick one pixel per quadrant
     val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
