@@ -20,9 +20,12 @@ object AudioCodec {
     * seeded PCM16 mono samples in a hand-rolled RIFF container (byte-stable
     * across JVMs, unlike encoder round-trips). Decodable by any WAV reader.
     */
-  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val rnd = new scala.util.Random(seed)
-    val dataLen = nSamples * 2
+  /** PCM16 mono samples → RIFF/WAVE container bytes (shared by the
+    * synthetic generator and the known-waveform specs, so the header layout
+    * has ONE definition).
+    */
+  def pcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
     val out = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
     out.put("fmt ".getBytes("US-ASCII")).putInt(16)
@@ -33,25 +36,50 @@ object AudioCodec {
     out.putShort(2) // block align
     out.putShort(16) // bits/sample
     out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < nSamples) {
-      // seeded tone + noise: audibly structured, deterministic
-      val tone = math.sin(2 * math.Pi * (220.0 + (seed % 7) * 55.0) * i / sampleRate)
-      val s = ((tone * 0.5 + (rnd.nextDouble() - 0.5) * 0.2) * Short.MaxValue).toInt
-      out.putShort(math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, s)).toShort)
-      i += 1
-    }
+    samples.foreach(out.putShort)
     out.array()
   }
 
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val samples = Array.tabulate(nSamples) { i =>
+      // seeded tone + noise: audibly structured, deterministic
+      val tone = math.sin(2 * math.Pi * (220.0 + (seed % 7) * 55.0) * i / sampleRate)
+      val s = ((tone * 0.5 + (rnd.nextDouble() - 0.5) * 0.2) * Short.MaxValue).toInt
+      math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, s)).toShort
+    }
+    pcmWav(samples, sampleRate)
+  }
+
   /** REAL decode via the JDK's WAV parser → PCM16 samples (mono: channel 0
-    * when multi-channel). Throws on undecodable bytes.
+    * when multi-channel). Non-16-bit encodings (8/24/32-bit, float, a-law)
+    * are CONVERTED by the JDK pipeline rather than rejected — those bytes
+    * are decodable, and one odd row must not fail a whole Spark stage.
+    * Throws only on genuinely unparsable bytes.
     */
   def decode(bytes: Array[Byte]): Array[Short] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val srcFmt = src.getFormat
+    val needsConversion =
+      srcFmt.getSampleSizeInBits != 16 ||
+        srcFmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    val in =
+      if (!needsConversion) src
+      else
+        AudioSystem.getAudioInputStream(
+          new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            srcFmt.getSampleRate,
+            16,
+            srcFmt.getChannels,
+            srcFmt.getChannels * 2,
+            srcFmt.getSampleRate,
+            false
+          ),
+          src
+        )
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16, s"expected PCM16, got ${fmt.getSampleSizeInBits}-bit")
       val frameSize = fmt.getFrameSize
       val raw = in.readAllBytes()
       val n = raw.length / frameSize
@@ -73,7 +101,9 @@ object AudioCodec {
     val n = samples.length
     var i = 0
     while (i < n) {
-      val band = math.min(i * dims / math.max(n, 1), dims - 1)
+      // long arithmetic: i * dims overflows Int past ~2^31/dims samples
+      // (a ~90-minute 48 kHz stereo file is enough to hit it)
+      val band = math.min((i.toLong * dims / math.max(n, 1)).toInt, dims - 1)
       val x = samples(i).toDouble / Short.MaxValue
       acc(band) += x * x
       cnt(band) += 1

@@ -76,20 +76,35 @@ final class TableStore(base: String, table: String) {
 
   // ---- snapshot bookkeeping -------------------------------------------------
 
+  /** read + parse one manifest, tolerating concurrent writers/expirers:
+    * a file deleted between listing and read (expiry — its lineage id is
+    * already in the ledger, appended BEFORE the delete) → None; a TRUNCATED
+    * body (the linkless-filesystem fallback has a tiny body-visibility
+    * window; parse is strict about the closing tokens) → bounded retry,
+    * then propagate loudly.
+    */
+  private def readManifest(p: Path): Option[Snapshot] = {
+    var attempts = 0
+    while (true) {
+      try return Some(ManifestJson.parse(Files.readString(p)))
+      catch {
+        case _: java.nio.file.NoSuchFileException => return None
+        case e: IllegalArgumentException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+          Thread.sleep(10)
+      }
+    }
+    None
+  }
+
   def snapshots: Seq[Snapshot] =
     if (!Files.isDirectory(manifestDir)) Seq.empty
     else
       listDir(manifestDir)(
         _.filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
       ).sortBy(_.getFileName.toString)
-        .flatMap { p =>
-          // a concurrent expireSnapshots may delete a manifest between the
-          // listing and this read — skip it (that is exactly the post-expiry
-          // state; its lineage id is already in the ledger, appended BEFORE
-          // the delete)
-          try Some(ManifestJson.parse(Files.readString(p)))
-          catch { case _: java.nio.file.NoSuchFileException => None }
-        }
+        .flatMap(readManifest)
         .sortBy(_.snapshotId)
 
   /** has a commit with this lineage id already landed? (streaming replay
@@ -138,12 +153,24 @@ final class TableStore(base: String, table: String) {
     * this on every commit, and parsing the full history each time would make
     * cumulative commit cost quadratic in commit count.
     */
-  def currentSnapshot: Option[Snapshot] =
-    if (!Files.isDirectory(manifestDir)) None
-    else
-      listDir(manifestDir)(
+  def currentSnapshot: Option[Snapshot] = {
+    var attempts = 0
+    while (attempts < 20) {
+      if (!Files.isDirectory(manifestDir)) return None
+      val newest = listDir(manifestDir)(
         _.filter(_.getFileName.toString.startsWith("snapshot-")).maxByOption(_.getFileName.toString)
-      ).map(p => ManifestJson.parse(Files.readString(p)))
+      )
+      newest match {
+        case None => return None
+        case Some(p) =>
+          readManifest(p) match {
+            case Some(s) => return Some(s)
+            case None    => attempts += 1 // deleted between list and read (expiry) — re-list
+          }
+      }
+    }
+    sys.error(s"currentSnapshot: manifest churn did not settle on $table")
+  }
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
@@ -548,6 +575,10 @@ object ManifestJson {
       }
       (sb.toString, i + 1)
     }
+    // STRICT tail check: a truncated body (partial read of an in-progress
+    // non-link commit, or byte truncation) must be rejected, not silently
+    // parsed as a manifest with fewer partitions
+    require(json.trim.endsWith("]}"), "truncated manifest JSON")
     val id = longAt(fieldPos("snapshot_id"))
     val parent = longAt(fieldPos("parent_id"))
     val (input, _) = stringAt(fieldPos("input"))

@@ -67,9 +67,12 @@ object StreamingDerive {
     // URI checkpoints (hdfs://, s3a://, file:) are NOT local paths — running
     // them through Paths.get would prefix the driver's cwd and make stream
     // identity cwd-dependent; they pass through verbatim.
-    val canonical =
-      if (checkpoint.contains(":/")) checkpoint.stripSuffix("/")
-      else java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize.toString
+    val canonical = {
+      // file: URIs are local paths — unify them with the plain spelling
+      val c = if (checkpoint.startsWith("file:")) checkpoint.stripPrefix("file:") else checkpoint
+      if (c.contains("://")) c.stripSuffix("/")
+      else java.nio.file.Paths.get(c).toAbsolutePath.normalize.toString
+    }
     val streamId = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     derived.writeStream
@@ -105,9 +108,12 @@ object StreamingDerive {
     if (store.streamWatermark(streamId).exists(_ >= id)) return
     val lineage = s"stream-$streamId-batch-$id"
     val mem = Option(inProcessCommitted.get(streamId)).map(_.longValue)
-    if (mem.exists(_ >= id)) {
-      // this process already committed the batch; only the watermark write
-      // was lost — repair it, don't re-append
+    if (mem.exists(_ >= id) && store.hasCommit(lineage)) {
+      // this process committed the batch and only the watermark write was
+      // lost — repair it. The DURABLE lineage must confirm: after a
+      // same-JVM checkpoint/table reset, batch ids restart at 0 while the
+      // in-memory mark is stale, and trusting it alone would silently drop
+      // the new run's data. hasCommit only runs on this anomalous path.
       store.setStreamWatermark(streamId, id)
       return
     }

@@ -80,18 +80,22 @@ class MediaOpsSpec extends SparkTestBase {
     val samples = AudioCodec.decode(wav)
     assert(samples.length == 800)
     // known waveform: first half silence, second half full-scale square →
-    // 2-band RMS ≈ [0, 1]
+    // 2-band RMS ≈ [0, 1] (container built by the SAME pcmWav the generator uses)
     val pcm = Array.tabulate(600)(i => if (i < 300) 0.toShort else (if (i % 2 == 0) Short.MaxValue else (-Short.MaxValue).toShort))
-    val bb = java.nio.ByteBuffer.allocate(44 + 1200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 1200).put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
-    bb.put("data".getBytes("US-ASCII")).putInt(1200)
-    pcm.foreach(bb.putShort)
-    val f = AudioCodec.features(bb.array(), dims = 2)
+    val f = AudioCodec.features(AudioCodec.pcmWav(pcm), dims = 2)
     assert(math.abs(f(0)) < 1e-6f && math.abs(f(1) - 1.0f) < 1e-4f, f.toSeq.toString)
     // synthetic corpus: audio rows really decode
     val doc = MediaOps.syntheticMedia(spark, 3).collect().find(_.mime == "audio/wav").get
     assert(AudioCodec.decode(doc.media).length > 0)
+    // non-16-bit WAVs are CONVERTED, not rejected: 8-bit unsigned PCM
+    val dataLen = 200
+    val bb8 = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb8.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb8.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb8.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until dataLen).foreach(i => bb8.put((if (i < 100) 128 else 255).toByte)) // silence then loud
+    val s8 = AudioCodec.decode(bb8.array())
+    assert(s8.length == 200 && math.abs(s8(0).toInt) <= 256 && s8(150) > 20000, s"${s8(0)} ${s8(150)}")
   }
 
   test("ImageCodec resize: nearest-neighbor picks exact source pixels") {
