@@ -30,18 +30,25 @@ object Bench {
     // headline: derive + tier ladder over synthetic transcripts
     val (pointsPerSec, tierRows, rollupSec) = rollupThroughput(spark, turns, cpus.toInt)
 
+    // a query that throws must surface as a FAILURE, not as a plausible
+    // elapsed time (a broken query would otherwise read as a fast one)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => errors(name) = e.getClass.getSimpleName; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(""","query_errors":{""", ",", "}")
     val tiers = tierRows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec}"""
+      s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec}"""
     )
     spark.stop()
   }

@@ -397,8 +397,9 @@ object SparkEntry {
     }),
 
     // multimodal: batched feature extraction over binary media columns —
-    // REAL javax.imageio decode for image rows, marked stub for audio/video
-    // (pixel-space features aren't SQL-expressible → rows-only)
+    // REAL decode for image (javax.imageio) and audio (javax.sound.sampled
+    // WAV) rows; only video remains a marked stub (no H.264/VP9 decoder in
+    // the JDK). Pixel-space features aren't SQL-expressible → rows-only.
     "q24_media_features" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps

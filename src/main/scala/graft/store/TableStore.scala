@@ -385,6 +385,16 @@ final class TableStore(base: String, table: String) {
     Files.createDirectories(manifestDir)
     var attempts = 0
     while (attempts < 1000) {
+      // contention backoff: without it every CAS loser immediately re-reads
+      // the parent, re-merges and re-links — a thundering herd that turns
+      // N concurrent committers into O(N²) filesystem round-trips. First
+      // few retries are free (the common 2-writer race resolves instantly);
+      // past that, exponential + full jitter, capped well under the commit
+      // latency itself.
+      if (attempts > 3) {
+        val cap = math.min(200L, 1L << math.min(attempts - 3, 8))
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      }
       val parentSnap = currentSnapshot
       val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
       val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap))
@@ -552,10 +562,28 @@ object ManifestJson {
         s"""{"p":${q(p.partition)},"rows":${p.rows},"hash":${p.contentHash},"files":$fs}"""
       }
       .mkString("[", ",", "]")
-    s"""{"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts}"""
+    // trailing "count" is an explicit TERMINATOR: every partition entry also
+    // ends in `]}`, so "document ends with ]}" alone would accept a prefix
+    // cut exactly at a partition-object boundary as a valid, SHORTER
+    // manifest — silent data loss. A truncated body can never end in a
+    // count field, and the count cross-checks the parsed partition list.
+    s"""{"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts,"count":${s.partitions.length}}"""
   }
 
-  def parse(json: String): Snapshot = {
+  /** strict parse; ALL malformed-input failures (truncation mid-token, bad
+    * numbers, index overruns) normalize to IllegalArgumentException so
+    * `readManifest`'s bounded retry covers the body-visibility window of the
+    * non-link commit fallback uniformly.
+    */
+  def parse(json: String): Snapshot =
+    try parseStrict(json)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: StringIndexOutOfBoundsException | _: IndexOutOfBoundsException | _: NumberFormatException) =>
+        throw new IllegalArgumentException(s"malformed manifest JSON: ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
+
+  private def parseStrict(json: String): Snapshot = {
     def fieldPos(name: String, from: Int = 0): Int = {
       val i = json.indexOf("\"" + name + "\":", from)
       require(i >= 0, s"missing $name")
@@ -577,8 +605,10 @@ object ManifestJson {
     }
     // STRICT tail check: a truncated body (partial read of an in-progress
     // non-link commit, or byte truncation) must be rejected, not silently
-    // parsed as a manifest with fewer partitions
-    require(json.trim.endsWith("]}"), "truncated manifest JSON")
+    // parsed as a manifest with fewer partitions. Requiring the trailing
+    // count terminator defeats the partition-boundary cut that a bare
+    // "ends with ]}" check would accept.
+    require(countTail.findFirstIn(json.trim).isDefined, "truncated manifest JSON (missing count terminator)")
     val id = longAt(fieldPos("snapshot_id"))
     val parent = longAt(fieldPos("parent_id"))
     val (input, _) = stringAt(fieldPos("input"))
@@ -603,8 +633,17 @@ object ManifestJson {
       parts += PartitionManifest(p, rows, longAt(hashPos), files.result())
       i = hashPos
     }
-    Snapshot(id, parent, input, parts.result())
+    val result = parts.result()
+    // cross-check the terminator count against what was actually parsed: a
+    // body cut inside the partitions array that somehow retained a count
+    // tail, or a parser bug dropping entries, must fail loudly
+    val declared = longAt(fieldPos("count", i)) // i ≥ partitions-array start; escapes make a spoofed in-string key impossible
+    require(declared == result.length, s"manifest count mismatch: declared $declared, parsed ${result.length}")
+    Snapshot(id, parent, input, result)
   }
+
+  /** the document must END in the count terminator */
+  private val countTail = """"count":\d+\}$""".r
 
   private def q(s: String): String =
     "\"" + s.flatMap {
