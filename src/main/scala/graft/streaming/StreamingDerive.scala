@@ -60,10 +60,20 @@ object StreamingDerive {
     * from one-file-per-batch appends is bounded by `jobs.Maintain`.
     */
   def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] = {
-    // stream identity = the NORMALIZED checkpoint location (stable across
-    // restarts of THIS stream even under relative-vs-absolute/trailing-slash
-    // spellings, distinct per stream): batch ids alone collide across
-    // streams/checkpoint resets — Iceberg's txnAppId+txnVersion pattern.
+    // stream identity = NORMALIZED checkpoint location + the checkpoint's
+    // queryId (Iceberg's txnAppId+txnVersion pattern, generation-aware):
+    //  - the path distinguishes streams (batch ids alone collide across
+    //    streams) and normalization makes relative-vs-absolute/trailing-slash
+    //    spellings agree;
+    //  - the queryId (from the checkpoint's `metadata` file, written by
+    //    StreamExecution at query start, STABLE across restarts of the same
+    //    checkpoint, REGENERATED when the directory is deleted) distinguishes
+    //    checkpoint GENERATIONS. Path-only identity silently dropped a reset
+    //    run's data: batch ids restart at 0 with different composition, and
+    //    the old durable watermark skipped them all. With the queryId folded
+    //    in, a reset is a fresh stream — its batches re-ingest and COMMIT
+    //    (the table keeps both generations' rows; dedup across a reset is the
+    //    operator's job, not the committer's).
     // URI checkpoints (hdfs://, s3a://, file:) are NOT local paths — running
     // them through Paths.get would prefix the driver's cwd and make stream
     // identity cwd-dependent; they pass through verbatim.
@@ -73,15 +83,52 @@ object StreamingDerive {
       if (c.contains("://")) c.stripSuffix("/")
       else java.nio.file.Paths.get(c).toAbsolutePath.normalize.toString
     }
-    val streamId = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     derived.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // resolved PER BATCH (one small-file read, same order of cost as the
+        // watermark read): memoizing by path would serve a stale queryId
+        // after a same-JVM checkpoint reset — the exact failure this guards.
+        val queryId = checkpointQueryId(batch.sparkSession, checkpoint)
+        val streamId = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$canonical\n$queryId".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
         appendBatch(new graft.store.TableStore(base, s"tier_$tier"), batch, streamId, id)
       }
+  }
+
+  private val metadataIdField = """"id"\s*:\s*"([^"]+)"""".r
+
+  /** the checkpoint's queryId, read from `<checkpoint>/metadata` through the
+    * Hadoop filesystem of the location (works for local paths and URI
+    * checkpoints alike). StreamExecution writes the file before running any
+    * batch, so inside foreachBatch it always exists; a short bounded retry
+    * covers eventual-visibility filesystems, then the failure propagates —
+    * committing under a GUESSED identity risks exactly the silent skip this
+    * mechanism prevents.
+    */
+  private[graft] def checkpointQueryId(spark: org.apache.spark.sql.SparkSession, checkpoint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempts = 0
+    while (true) {
+      try {
+        val in = fs.open(path)
+        val body =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        return metadataIdField
+          .findFirstMatchIn(body)
+          .map(_.group(1))
+          .getOrElse(throw new IllegalStateException(s"checkpoint metadata at $path carries no query id: $body"))
+      } catch {
+        case _: java.io.FileNotFoundException if attempts < 20 =>
+          attempts += 1
+          Thread.sleep(50)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** highest batch id COMMITTED by this process per stream — covers the
@@ -92,37 +139,55 @@ object StreamingDerive {
     */
   private val inProcessCommitted = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** highest batch id this process STARTED committing per stream, recorded
+    * BEFORE the durable write: an interrupt landing between the store commit
+    * and the `inProcessCommitted` update leaves mem one behind the durably
+    * committed id, and without this marker the retry would skip every
+    * durable-confirmation branch and re-commit the batch — the exact crash
+    * window the replay guard exists to cover.
+    */
+  private val inProcessAttempted = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** test hook: simulate a process restart — production code never calls this */
-  private[graft] def forgetReplayChecks(): Unit = inProcessCommitted.clear()
+  private[graft] def forgetReplayChecks(): Unit = {
+    inProcessCommitted.clear()
+    inProcessAttempted.clear()
+  }
+
+  /** test hook: replicate the pre-write attempt marker so specs can stage the
+    * interrupted-after-commit crash window without a real kill
+    */
+  private[graft] def recordAttempt(streamId: String, id: Long): Unit =
+    inProcessAttempted.merge(streamId, id, (a, b) => if (a.longValue >= b.longValue) a else b)
 
   /** One micro-batch → one idempotent append commit. REPLAY guard (a crash
     * between the store commit and the stream's offset commit re-runs the
     * same batch id): fast path = per-stream commit watermark (one file
-    * read); same-JVM query restarts are repaired from `inProcessCommitted`;
-    * the manifest/ledger scan (`hasCommit`) runs only while this process
-    * has not yet committed anything for the stream — at most the first
-    * batch after a process restart. Empty batches advance the watermark
-    * without committing a snapshot.
+    * read). The manifest/ledger scan (`hasCommit`) runs only when this batch
+    * id may already be committed without a live watermark:
+    *  - mem >= id: this process committed it and only the watermark write
+    *    was lost (same-JVM query restart);
+    *  - mem empty: fresh process — the pre-crash run may have committed;
+    *  - attempted >= id while mem < id: this process was interrupted between
+    *    the store commit and the committed-map update (mem alone is stale).
+    * In steady state (mem = attempted = id-1) none hold and no scan runs.
+    * Empty batches advance the watermark without committing a snapshot.
     */
   private[graft] def appendBatch(store: graft.store.TableStore, batch: DataFrame, streamId: String, id: Long): Unit = {
     if (store.streamWatermark(streamId).exists(_ >= id)) return
     val lineage = s"stream-$streamId-batch-$id"
     val mem = Option(inProcessCommitted.get(streamId)).map(_.longValue)
-    if (mem.exists(_ >= id) && store.hasCommit(lineage)) {
-      // this process committed the batch and only the watermark write was
-      // lost — repair it. The DURABLE lineage must confirm: after a
-      // same-JVM checkpoint/table reset, batch ids restart at 0 while the
-      // in-memory mark is stale, and trusting it alone would silently drop
-      // the new run's data. hasCommit only runs on this anomalous path.
+    val attempted = Option(inProcessAttempted.get(streamId)).map(_.longValue)
+    val mayBeCommitted = mem.isEmpty || mem.exists(_ >= id) || attempted.exists(_ >= id)
+    if (mayBeCommitted && store.hasCommit(lineage)) {
+      // the commit already landed — repair the watermark instead of
+      // double-committing. The DURABLE lineage must confirm: trusting the
+      // in-memory marks alone would drop data after a same-JVM table reset.
       store.setStreamWatermark(streamId, id)
+      if (mem.forall(_ < id)) inProcessCommitted.put(streamId, id)
       return
     }
-    if (mem.isEmpty && store.hasCommit(lineage)) {
-      // fresh process replaying a batch whose commit landed pre-crash
-      store.setStreamWatermark(streamId, id)
-      inProcessCommitted.put(streamId, id)
-      return
-    }
+    recordAttempt(streamId, id)
     // persist: isEmpty and the staged write would otherwise each re-execute
     // the micro-batch's full plan
     val b = batch.persist()

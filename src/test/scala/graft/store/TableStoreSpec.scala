@@ -115,6 +115,36 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.read(spark).count() == 4, "expired-manifest lineage must still dedupe (ledger)")
   }
 
+  test("streaming replay: interrupt between store commit and in-memory mark does not double-commit") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    val b0 = Seq(("sc", "m", 1700000000L, 1.0)).toDF("scope", "metric", "bucket", "value")
+    val b1 = Seq(("sc", "m", 1700000060L, 2.0)).toDF("scope", "metric", "bucket", "value")
+    graft.streaming.StreamingDerive.forgetReplayChecks()
+    graft.streaming.StreamingDerive.appendBatch(store, b0, "qc", 0L)
+    assert(store.read(spark).count() == 1)
+    // stage the crash window for batch 1: the attempt marker and the DURABLE
+    // store commit landed, but the process was interrupted before the
+    // committed-map and watermark updates (mem = 0, watermark = 0, store has
+    // batch 1). Before the attempt marker existed, the retry saw mem neither
+    // >= 1 nor empty, skipped every durable-confirmation branch, and
+    // re-committed the batch under the same lineage.
+    graft.streaming.StreamingDerive.recordAttempt("qc", 1L)
+    store.write(TierBuilder.withDay(b1), "day", "stream-qc-batch-1", append = true)
+    assert(store.read(spark).count() == 2)
+    // the same-JVM retry of batch 1 must repair the watermark, NOT re-commit
+    graft.streaming.StreamingDerive.appendBatch(store, b1, "qc", 1L)
+    assert(store.read(spark).count() == 2, "interrupted batch re-committed: rows duplicated")
+    assert(store.streamWatermark("qc").contains(1L), "watermark not repaired")
+    // and the stream continues normally afterwards (steady state, no probe)
+    val b2 = Seq(("sc", "m", 1700000120L, 3.0)).toDF("scope", "metric", "bucket", "value")
+    graft.streaming.StreamingDerive.appendBatch(store, b2, "qc", 2L)
+    assert(store.read(spark).count() == 3)
+    assert(store.streamWatermark("qc").contains(2L))
+  }
+
   private def deleteWatermarks(base: String): Unit = {
     val dir = java.nio.file.Paths.get(s"$base/tier_x/_manifests")
     val s = java.nio.file.Files.list(dir)

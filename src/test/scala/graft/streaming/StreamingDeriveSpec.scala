@@ -109,4 +109,69 @@ class StreamingDeriveSpec extends SparkTestBase {
       assert(after.contentHash == before && after.files.size == 1)
     }
   }
+
+  test("checkpoint RESET at the same path commits the new run's batches; plain restarts still skip") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val turns = FixtureGen
+      .synthetic(spark, nConvs = 4, maxTurns = 200, partitions = 2)
+      .as[graft.model.Turn]
+      .collect()
+      .toSeq
+    val maxTs = turns.map(_.ts.getTime).max
+    val closer =
+      graft.model.Turn("wm_closer", 0, "system", "wm", null, new java.sql.Timestamp(maxTs + 3600 * 1000L))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_reset").toString
+    val ckpt = s"$out/ckpt"
+    def drain(input: MemoryStream[graft.model.Turn]): Unit = {
+      val q = StreamingDerive
+        .writeToTierStore(StreamingDerive.deriveStream(input.toDF(), 60L), out, "reset", ckpt)
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    val store = new graft.store.TableStore(out, "tier_reset")
+
+    val in1 = MemoryStream[graft.model.Turn]
+    in1.addData(turns :+ closer)
+    drain(in1)
+    val firstRun = store.read(spark).count()
+    assert(firstRun > 0)
+    val snapsAfterFirst = store.snapshots.size
+
+    // plain same-checkpoint restart, no new data: the queryId is STABLE
+    // across restarts, so replays stay deduped and nothing new commits
+    drain(in1)
+    assert(store.snapshots.size == snapsAfterFirst, "restart without new data must not commit")
+    assert(store.read(spark).count() == firstRun)
+
+    // RESET: delete the checkpoint, keep the table — a routine ops move.
+    // Batch ids restart at 0 under a FRESH queryId; with path-only stream
+    // identity the old durable watermark silently skipped every batch of the
+    // new run (data loss). They must COMMIT: same input re-ingested → the
+    // table now holds both generations' rows.
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val l = java.nio.file.Files.list(p)
+        try l.iterator().forEachRemaining(rm) finally l.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    rm(java.nio.file.Paths.get(ckpt))
+    val in2 = MemoryStream[graft.model.Turn]
+    in2.addData(turns :+ closer)
+    drain(in2)
+    val afterReset = store.read(spark).count()
+    assert(
+      afterReset == 2 * firstRun,
+      s"reset run's batches were skipped or partially committed: $afterReset vs ${2 * firstRun}"
+    )
+    // and the NEW generation's identity dedupes its own replays
+    drain(in2)
+    assert(store.read(spark).count() == afterReset)
+  }
 }
