@@ -85,7 +85,12 @@ object Maintain {
       catch { case e: graft.store.ConcurrentTableModification => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
-    println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed}""")
+    // replay-guard metadata bounds: fold expired streaming lineage into
+    // per-stream ranges and drop watermark files of dead streams (both are
+    // single-maintenance-writer operations — this job is that writer)
+    store.compactLineageLedger()
+    val wmDeleted = store.gcStreamWatermarks()
+    println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed,"watermarksGCed":$wmDeleted}""")
     spark.stop()
   }
 }

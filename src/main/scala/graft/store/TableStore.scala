@@ -125,7 +125,112 @@ final class TableStore(base: String, table: String) {
     if (snapshots.exists(_.inputSnapshot == inputSnapshot)) return true
     val ledger = manifestDir.resolve("lineage.log")
     Files.exists(ledger) &&
-    scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().contains(inputSnapshot)).get
+    scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().exists(lineCovers(_, inputSnapshot))).get
+  }
+
+  // ---- lineage ledger compaction ---------------------------------------------
+  // The ledger grows one line per expired snapshot FOREVER (months of
+  // micro-batches → unbounded file + linear hasCommit scans). Streaming
+  // lineage ids are `stream-<sid>-batch-<n>` with dense n, so the ledger
+  // compacts to per-stream contiguous RANGES — O(#streams + #gaps + #batch
+  // jobs) lines regardless of commit count.
+
+  /** marker for a compacted range line: `#range\t<prefix>\t<lo>\t<hi>` covers
+    * every id `<prefix><n>` with lo <= n <= hi. Tab-separated — tabs cannot
+    * appear in our generated stream prefixes, and a free-form batch lineage
+    * id starting with "#range\t" would have to be deliberately adversarial.
+    */
+  private val rangeMarker = "#range\t"
+
+  private def lineCovers(line: String, inputSnapshot: String): Boolean =
+    if (!line.startsWith(rangeMarker)) line == inputSnapshot
+    else
+      line.split('\t') match {
+        case Array(_, prefix, lo, hi) if inputSnapshot.startsWith(prefix) =>
+          inputSnapshot.substring(prefix.length).toLongOption.exists(n => n >= lo.toLong && n <= hi.toLong)
+        case _ => false
+      }
+
+  private val streamLineageId = "^(stream-.+-batch-)(\\d+)$".r
+
+  /** Rewrite the lineage ledger as a bounded summary: contiguous batch-id
+    * ranges per stream prefix, plus deduped free-form ids, via tmp + atomic
+    * move (concurrent `hasCommit` readers see the old or the new file, both
+    * complete). Coverage is EXACTLY preserved — every id the old ledger
+    * answered true for, the new one does too, and nothing new. Single
+    * maintenance writer at a time (same contract as `expireSnapshots`): a
+    * ledger APPEND racing the rewrite could be lost, so run from the one
+    * Maintain job, not beside a live expiry.
+    */
+  def compactLineageLedger(): Unit = {
+    val ledger = manifestDir.resolve("lineage.log")
+    if (!Files.exists(ledger)) return
+    val lines = scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().toVector).get
+    // prefix → merged, sorted disjoint [lo, hi] intervals
+    val intervals = scala.collection.mutable.LinkedHashMap.empty[String, List[(Long, Long)]]
+    val freeForm = scala.collection.mutable.LinkedHashSet.empty[String]
+    def add(prefix: String, lo: Long, hi: Long): Unit =
+      intervals(prefix) = intervals.getOrElse(prefix, Nil) :+ ((lo, hi))
+    for (line <- lines if line.nonEmpty)
+      if (line.startsWith(rangeMarker))
+        line.split('\t') match {
+          case Array(_, prefix, lo, hi) => add(prefix, lo.toLong, hi.toLong)
+          case _                        => freeForm += line // malformed range: keep verbatim (still answers equality)
+        }
+      else
+        line match {
+          case streamLineageId(prefix, n) => add(prefix, n.toLong, n.toLong)
+          case other                      => freeForm += other
+        }
+    val out = new StringBuilder
+    for (id <- freeForm) out.append(id).append('\n')
+    for ((prefix, ivs) <- intervals) {
+      val merged = ivs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 => (plo, math.max(phi, hi)) :: rest
+        case (acc, iv)                                       => iv :: acc
+      }
+      for ((lo, hi) <- merged.reverse) out.append(s"$rangeMarker$prefix\t$lo\t$hi\n")
+    }
+    val tmp = manifestDir.resolve(s".tmp-ledger-${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, out.toString)
+    Files.move(tmp, ledger, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete per-stream watermark files whose stream appears in NO kept
+    * manifest or ledger line (dead stream: its generation was reset or it
+    * never durably committed) and whose file is older than `maxAgeMs`
+    * (a just-born stream's watermark may precede its first commit's
+    * visibility). Safe by the replay-guard's own rules: a live stream whose
+    * watermark vanishes falls back to the hasCommit probe, and a stream with
+    * only EMPTY batches re-runs no-op batches. Reads manifests BEFORE the
+    * ledger so a stream mid-expiry is found in at least one (expiry appends
+    * to the ledger before deleting manifests). Returns files deleted.
+    */
+  def gcStreamWatermarks(maxAgeMs: Long = 3600 * 1000L): Int = {
+    if (!Files.isDirectory(manifestDir)) return 0
+    val fromManifests = snapshots.map(_.inputSnapshot)
+    val ledger = manifestDir.resolve("lineage.log")
+    val fromLedger =
+      if (!Files.exists(ledger)) Vector.empty[String]
+      else scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().toVector).get
+    val liveStreamIds = (fromManifests ++ fromLedger).flatMap {
+      case streamLineageId(prefix, _) => Some(prefix)
+      case l if l.startsWith(rangeMarker) =>
+        l.split('\t') match {
+          case Array(_, prefix, _, _) => Some(prefix)
+          case _                      => None
+        }
+      case _ => None
+    }.collect { case p if p.startsWith("stream-") && p.endsWith("-batch-") => p.stripPrefix("stream-").stripSuffix("-batch-") }
+    val expected = liveStreamIds.map(watermarkPath(_).getFileName.toString).toSet
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val candidates = listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith("watermark-")).toSeq)
+    var deleted = 0
+    for (p <- candidates)
+      if (!expected(p.getFileName.toString) && Files.getLastModifiedTime(p).toMillis < cutoff) {
+        if (Files.deleteIfExists(p)) deleted += 1
+      }
+    deleted
   }
 
   // ---- per-stream commit watermarks -----------------------------------------
@@ -516,6 +621,12 @@ final class TableStore(base: String, table: String) {
         StandardOpenOption.CREATE,
         StandardOpenOption.APPEND
       )
+    // keep the ledger BOUNDED: past a modest size, rewrite it as per-stream
+    // ranges (coverage-preserving, idempotent). Size-gated so small ledgers
+    // are not rewritten on every expiry; a compacted ledger stays under the
+    // gate until months of new gaps/streams accumulate.
+    val ledgerPath = manifestDir.resolve("lineage.log")
+    if (Files.exists(ledgerPath) && Files.size(ledgerPath) > 64 * 1024) compactLineageLedger()
     // delete expired manifests
     for (s <- expiring)
       Files.deleteIfExists(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json"))

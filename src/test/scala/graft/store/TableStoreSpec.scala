@@ -145,6 +145,59 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.streamWatermark("qc").contains(2L))
   }
 
+  test("lineage ledger compacts to ranges, hasCommit exact across compaction, _manifests bounded") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    def mk(i: Int) =
+      Seq(("sc", "m", 1700000000L + i * 60L, i.toDouble)).toDF("scope", "metric", "bucket", "value")
+    graft.streaming.StreamingDerive.forgetReplayChecks()
+    // N >> keepLast micro-batch commits on one stream, a second stream with a
+    // batch-id GAP, and a free-form batch-job commit
+    val n = 25
+    for (i <- 0 until n) graft.streaming.StreamingDerive.appendBatch(store, mk(i), "s1", i.toLong)
+    for (i <- Seq(0L, 1L, 5L)) graft.streaming.StreamingDerive.appendBatch(store, mk(1000 + i.toInt), "s2", i)
+    store.write(TierBuilder.withDay(mk(9999)), "day", "batch-job-7", append = true)
+    // expire to one snapshot → every other commit's lineage rolls into the ledger
+    store.expireSnapshots(keepLast = 1)
+    store.compactLineageLedger()
+    val ledger = Paths.get(s"$base/tier_x/_manifests/lineage.log")
+    val lines = Files.readAllLines(ledger).asScala.filter(_.nonEmpty)
+    assert(lines.size <= 4, s"ledger not bounded: ${lines.size} lines:\n${lines.mkString("\n")}")
+    assert(lines.count(_.startsWith("#range")) >= 2, s"expected range lines, got:\n${lines.mkString("\n")}")
+    // coverage EXACTLY preserved: committed ids answer true, gaps/others false
+    assert(store.hasCommit("stream-s1-batch-0"))
+    assert(store.hasCommit(s"stream-s1-batch-${n - 1}"))
+    assert(!store.hasCommit(s"stream-s1-batch-$n"))
+    assert(store.hasCommit("stream-s2-batch-1") && store.hasCommit("stream-s2-batch-5"))
+    assert(!store.hasCommit("stream-s2-batch-3"), "gap id must stay uncommitted")
+    assert(store.hasCommit("batch-job-7"), "live manifest lineage")
+    assert(!store.hasCommit("batch-job-8"))
+    // idempotent: a second compaction changes nothing
+    val before = Files.readString(ledger)
+    store.compactLineageLedger()
+    assert(Files.readString(ledger) == before)
+    // watermark GC: a DEAD stream's aged watermark is removed; a live
+    // stream's aged watermark survives (liveness, not just age, decides)
+    store.setStreamWatermark("dead", 3L)
+    val mdir = Paths.get(s"$base/tier_x/_manifests")
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200 * 1000L)
+    val wms = Files.list(mdir)
+    try wms.iterator().asScala.filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.setLastModifiedTime(_, old))
+    finally wms.close()
+    val deleted = store.gcStreamWatermarks()
+    assert(deleted == 1, s"expected exactly the dead stream's watermark gone, deleted=$deleted")
+    assert(store.streamWatermark("s1").contains((n - 1).toLong), "live stream watermark must survive GC")
+    assert(store.streamWatermark("dead").isEmpty)
+    // _manifests entry count bounded after N >> keepLast commits:
+    // keepLast snapshot JSONs + lineage.log + one watermark per LIVE stream
+    val entries = Files.list(mdir)
+    val names = try entries.iterator().asScala.map(_.getFileName.toString).toVector finally entries.close()
+    assert(names.count(_.startsWith("snapshot-")) == 1, s"snapshots not expired: $names")
+    assert(names.size <= 5, s"_manifests unbounded: ${names.size} entries: $names")
+  }
+
   private def deleteWatermarks(base: String): Unit = {
     val dir = java.nio.file.Paths.get(s"$base/tier_x/_manifests")
     val s = java.nio.file.Files.list(dir)
