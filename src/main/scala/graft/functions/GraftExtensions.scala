@@ -27,6 +27,10 @@ object GraftExtensions {
     val (a, b) = (children.head, children(1))
     Divide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
   }
+  private[graft] def buildChunkExplode(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "chunk_explode(data) takes one BINARY chunk argument")
+    ChunkExplode(children.head)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -54,6 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
         GraftExtensions.buildCosine _
+      )
+    )
+    // chunk_explode(data) — the native Gorilla/DoD chunk-decode Generator.
+    // Being a Generator it works in LATERAL VIEW and the SELECT list exactly
+    // like built-in explode; without this registration, SQL sessions could
+    // not read chunked history tables at all (the decode was
+    // DataFrame-API-only).
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("chunk_explode"),
+        new ExpressionInfo(classOf[ChunkExplode].getName, "chunk_explode"),
+        GraftExtensions.buildChunkExplode _
       )
     )
   }

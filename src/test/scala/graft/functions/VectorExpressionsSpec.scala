@@ -66,6 +66,32 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("binary"), e.getMessage)
   }
 
+  test("chunk_explode SQL surface: LATERAL VIEW over a chunked table matches the DataFrame path") {
+    val s = spark
+    import s.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // exercise the injection path
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_explode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[ChunkExplode].getName, "chunk_explode"),
+      GraftExtensions.buildChunkExplode _ // the PRODUCTION builder, not a test copy
+    )
+    val points = Seq(
+      ("a", "m", 1000L, 1.5),
+      ("a", "m", 1060L, 2.5),
+      ("b", "m", 500L, -3.25),
+      ("b", "m", 100000L, 7.0)
+    ).toDF("scope", "metric", "bucket", "value")
+    graft.codec.ChunkTables.pack(points).createOrReplaceTempView("chunks")
+    val sqlOut = spark.sql(
+      "SELECT scope, metric, c.bucket, c.value FROM chunks LATERAL VIEW chunk_explode(data) c AS bucket, value"
+    )
+    val dfOut = graft.codec.ChunkTables.unpack(spark.table("chunks"))
+    assert(sqlOut.count() == 4)
+    assert(sqlOut.exceptAll(dfOut).isEmpty && dfOut.exceptAll(sqlOut).isEmpty,
+      "SQL LATERAL VIEW decode must equal the DataFrame chunkExplode decode")
+  }
+
   test("cosine_similarity SQL function composes the native expressions") {
     val s = spark
     import s.implicits._

@@ -145,6 +145,31 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.streamWatermark("qc").contains(2L))
   }
 
+  test("commit contention stress: 8 writers x 50 metadata commits, no retry bail, ids contiguous") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 3), "day", "seed")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks = (0 until 8).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          // dropPartitionsOlderThan with an always-keep cutoff is a pure
+          // metadata commit — max CAS contention, zero Spark jobs
+          try for (i <- 0 until 50) store.dropPartitionsOlderThan(spark, "day", "0000", s"stress-$t-$i")
+          catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(failures.isEmpty, s"commit stress failed: ${Option(failures.peek()).map(_.toString)}")
+    // every commit landed exactly once under backoff: 1 seed + 400 stress
+    val ids = store.snapshots.map(_.snapshotId)
+    assert(ids.size == 401, s"expected 401 snapshots, got ${ids.size}")
+    assert(ids == (0L to 400L), "snapshot ids must be contiguous and unique")
+    assert(store.read(spark).count() == 3, "metadata commits must not change data")
+  }
+
   test("lineage ledger compacts to ranges, hasCommit exact across compaction, _manifests bounded") {
     val s = spark
     import s.implicits._
