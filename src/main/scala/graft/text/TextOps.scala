@@ -205,6 +205,11 @@ object TextOps {
     * localCheckpoint (GraphX-free CC at scale).
     */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.checkpointedRdd
+    // release a superseded localCheckpoint generation: each one pins
+    // MEMORY_AND_DISK blocks until the session ends, so an iterative loop
+    // would otherwise retain every round's labels simultaneously
+    def release(df: DataFrame): Unit = checkpointedRdd(df).foreach(_.unpersist(blocking = false))
     // materialize the pair set ONCE — the two union branches below would
     // otherwise re-execute the (potentially expensive) candidate-pair plan
     val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
@@ -213,6 +218,7 @@ object TextOps {
       .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    release(p0) // edges is materialized; the raw pair blocks are dead
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
@@ -243,9 +249,11 @@ object TextOps {
         .select(col("id"), col("_prev"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.where(col("label") =!= col("_prev")).isEmpty
+      release(labels) // next is materialized (eager checkpoint) — the previous generation is superseded
       labels = next.select("id", "label")
       i += 1
     }
+    release(edges) // the output below reads only the final labels checkpoint
     if (!converged)
       throw new IllegalStateException(
         s"dedupGroups did not converge in $maxIter rounds — component diameter exceeds ~2^$maxIter?"

@@ -160,6 +160,21 @@ class OpsSpec extends SparkTestBase {
     assert(groups.size == 60 && groups.values.forall(_ == 100L), s"got ${groups.values.toSet}")
   }
 
+  test("dedupGroups releases superseded checkpoint generations (no per-round cache leak)") {
+    val s = spark
+    import s.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 40-node chain → ~6 pointer-jump rounds; a leak would retain one
+    // checkpointed generation per round plus p0 and edges
+    val chain = (0 until 39).map(i => (500L + i, 501L + i)).toDF("doc_a", "doc_b")
+    val out = TextOps.dedupGroups(chain)
+    assert(out.count() == 40)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the FINAL labels checkpoint may remain live (the returned frame
+    // reads it); every superseded round, p0, and edges must be unpersisted
+    assert(leaked.size <= 2, s"checkpoint generations leaked: ${leaked.size} new persistent RDDs")
+  }
+
   test("dedupGroups converges on adversarial near-Long.Max ids (no Σ overflow)") {
     val s = spark
     import s.implicits._
