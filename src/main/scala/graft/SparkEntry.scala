@@ -40,14 +40,30 @@ object SparkEntry {
         .map(_.resolve("target/fixtures").toString)
     }.getOrElse(java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString)
     // version suffix: bump when syntheticMedia's content changes so a stale
-    // materialization from an older build is never picked up (v2 = real WAVs)
-    s"$base/media_corpus_v2.parquet"
+    // materialization from an older build is never picked up (v2 = real
+    // WAVs; v3 = golden expected_f0/expected_dims feature columns)
+    s"$base/media_corpus_v3.parquet"
   }
 
   private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
     import s.implicits._
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mediaFixturePath, "_SUCCESS")))
-      graft.multimodal.MediaOps.syntheticMedia(s, 200).coalesce(1).write.mode("overwrite").parquet(mediaFixturePath)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mediaFixturePath, "_SUCCESS"))) {
+      import graft.multimodal.MediaOps
+      val docs = MediaOps.syntheticMedia(s, 200)
+      // GOLDEN feature columns, computed ONCE at materialization time by the
+      // same real decoders and frozen into the fixture: q24 compares a LIVE
+      // decode against these frozen values through the DuckDB oracle
+      // (parquet-vs-parquet), so decode drift or plumbing regressions FAIL
+      // the correctness gate instead of passing a rows-only count check
+      val expected = MediaOps
+        .toEmbeddings(MediaOps.extractFeatures(docs))
+        .select(
+          col("vec_id").as("doc_id"),
+          round(element_at(col("embedding"), 1), 4).as("expected_f0"),
+          size(col("embedding")).as("expected_dims")
+        )
+      docs.toDF().join(expected, Seq("doc_id")).coalesce(1).write.mode("overwrite").parquet(mediaFixturePath)
+    }
     s.read.parquet(mediaFixturePath).as[graft.multimodal.MediaOps.MediaDoc]
   }
 
@@ -399,7 +415,9 @@ object SparkEntry {
     // multimodal: batched feature extraction over binary media columns —
     // REAL decode for image (javax.imageio) and audio (javax.sound.sampled
     // WAV) rows; only video remains a marked stub (no H.264/VP9 decoder in
-    // the JDK). Pixel-space features aren't SQL-expressible → rows-only.
+    // the JDK). Pixel math isn't SQL-expressible, so the oracle compares the
+    // LIVE decode against golden feature columns frozen into the fixture at
+    // materialization time (parquet-vs-parquet).
     "q24_media_features" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps
@@ -1051,9 +1069,15 @@ object SparkEntry {
         |      FROM capped a JOIN capped b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
         |g AS (SELECT id_a, id_b, max(sim) AS sim FROM p GROUP BY 1, 2)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM g WHERE sim >= 0.4""".stripMargin,
+    // q24: pixel/PCM math is not SQL-expressible, but the fixture carries
+    // GOLDEN feature columns frozen at materialization time — the oracle
+    // reads them back, so the live decode is parquet-vs-parquet checked
+    "q24_media_features" ->
+      s"""SELECT doc_id AS vec_id, expected_f0 AS f0, expected_dims AS dims
+        |FROM read_parquet('$mediaFixturePath/*.parquet')""".stripMargin,
     // q17-q19 (Spark murmur3/xxhash64/crc32 sketches — DuckDB has none of
     // those hashes), q27 (IVF — iterative Lloyd not SQL-expressible),
-    // q22-q23 (sequential kernel analyzers), q24 (pixel-space features):
+    // q22-q23 (sequential kernel analyzers):
     // rows-only driver checks; covered by ScalaTest suites.
   )
 }
