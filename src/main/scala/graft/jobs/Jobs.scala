@@ -84,11 +84,11 @@ object Maintain {
       try { store.compactPartition(spark, "day", p); compacted += 1 }
       catch { case e: graft.store.ConcurrentTableModification => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
+    // expireSnapshots already compacts the lineage ledger past its size gate
+    // (a second unconditional pass would rewrite the whole file again for
+    // nothing — sub-gate ledgers are bounded by the gate itself). Watermark
+    // GC is a single-maintenance-writer operation — this job is that writer.
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
-    // replay-guard metadata bounds: fold expired streaming lineage into
-    // per-stream ranges and drop watermark files of dead streams (both are
-    // single-maintenance-writer operations — this job is that writer)
-    store.compactLineageLedger()
     val wmDeleted = store.gcStreamWatermarks()
     println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed,"watermarksGCed":$wmDeleted}""")
     spark.stop()

@@ -147,7 +147,12 @@ final class TableStore(base: String, table: String) {
     else
       line.split('\t') match {
         case Array(_, prefix, lo, hi) if inputSnapshot.startsWith(prefix) =>
-          inputSnapshot.substring(prefix.length).toLongOption.exists(n => n >= lo.toLong && n <= hi.toLong)
+          // toLongOption throughout: a malformed range line (kept verbatim by
+          // compaction) must answer false, not crash every hasCommit forever
+          (inputSnapshot.substring(prefix.length).toLongOption, lo.toLongOption, hi.toLongOption) match {
+            case (Some(n), Some(l), Some(h)) => n >= l && n <= h
+            case _                           => false
+          }
         case _ => false
       }
 
@@ -171,16 +176,22 @@ final class TableStore(base: String, table: String) {
     val freeForm = scala.collection.mutable.LinkedHashSet.empty[String]
     def add(prefix: String, lo: Long, hi: Long): Unit =
       intervals(prefix) = intervals.getOrElse(prefix, Nil) :+ ((lo, hi))
+    // toLongOption guards: lineage ids are CALLER-SUPPLIED (any string can be
+    // an inputSnapshot), so an over-Long digit suffix matches the regex but
+    // overflows toLong. hasCommit answers such ids by equality; compaction
+    // must route them to freeForm, not crash — an unguarded throw here would
+    // permanently poison every subsequent expireSnapshots/Maintain run.
     for (line <- lines if line.nonEmpty)
       if (line.startsWith(rangeMarker))
         line.split('\t') match {
-          case Array(_, prefix, lo, hi) => add(prefix, lo.toLong, hi.toLong)
-          case _                        => freeForm += line // malformed range: keep verbatim (still answers equality)
+          case Array(_, prefix, lo, hi) if lo.toLongOption.isDefined && hi.toLongOption.isDefined =>
+            add(prefix, lo.toLong, hi.toLong)
+          case _ => freeForm += line // malformed range: keep verbatim
         }
       else
         line match {
-          case streamLineageId(prefix, n) => add(prefix, n.toLong, n.toLong)
-          case other                      => freeForm += other
+          case streamLineageId(prefix, n) if n.toLongOption.isDefined => add(prefix, n.toLong, n.toLong)
+          case other                                                  => freeForm += other
         }
     val out = new StringBuilder
     for (id <- freeForm) out.append(id).append('\n')
@@ -197,30 +208,23 @@ final class TableStore(base: String, table: String) {
   }
 
   /** Delete per-stream watermark files whose stream appears in NO kept
-    * manifest or ledger line (dead stream: its generation was reset or it
-    * never durably committed) and whose file is older than `maxAgeMs`
-    * (a just-born stream's watermark may precede its first commit's
-    * visibility). Safe by the replay-guard's own rules: a live stream whose
-    * watermark vanishes falls back to the hasCommit probe, and a stream with
-    * only EMPTY batches re-runs no-op batches. Reads manifests BEFORE the
-    * ledger so a stream mid-expiry is found in at least one (expiry appends
-    * to the ledger before deleting manifests). Returns files deleted.
+    * manifest (it has not committed within the snapshot-retention horizon)
+    * and whose file is older than `maxAgeMs` (a just-born stream's watermark
+    * may precede its first commit's visibility; an ACTIVE stream refreshes
+    * its watermark's mtime on every commit). The ledger is deliberately NOT
+    * consulted: its coverage is permanent by design, so ledger-based liveness
+    * would pin the watermark of every generation that ever committed forever
+    * — repeated checkpoint resets (the case this GC exists for) would each
+    * leak one watermark file. Deleting any watermark is CORRECT regardless:
+    * it is only the O(1) fast path — a live stream whose watermark vanishes
+    * pays one hasCommit probe (manifests + ledger, authoritative) on its next
+    * replayed batch and then rewrites the watermark. Returns files deleted.
     */
   def gcStreamWatermarks(maxAgeMs: Long = 3600 * 1000L): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
-    val fromManifests = snapshots.map(_.inputSnapshot)
-    val ledger = manifestDir.resolve("lineage.log")
-    val fromLedger =
-      if (!Files.exists(ledger)) Vector.empty[String]
-      else scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().toVector).get
-    val liveStreamIds = (fromManifests ++ fromLedger).flatMap {
+    val liveStreamIds = snapshots.map(_.inputSnapshot).flatMap {
       case streamLineageId(prefix, _) => Some(prefix)
-      case l if l.startsWith(rangeMarker) =>
-        l.split('\t') match {
-          case Array(_, prefix, _, _) => Some(prefix)
-          case _                      => None
-        }
-      case _ => None
+      case _                          => None
     }.collect { case p if p.startsWith("stream-") && p.endsWith("-batch-") => p.stripPrefix("stream-").stripSuffix("-batch-") }
     val expected = liveStreamIds.map(watermarkPath(_).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - maxAgeMs
@@ -678,7 +682,11 @@ object ManifestJson {
     // cut exactly at a partition-object boundary as a valid, SHORTER
     // manifest — silent data loss. A truncated body can never end in a
     // count field, and the count cross-checks the parsed partition list.
-    s"""{"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts,"count":${s.partitions.length}}"""
+    // The LEADING "v":2 marker makes the check airtight across versions: it
+    // lands in the first bytes, so any truncated prefix of a v2 body still
+    // carries it and is rejected for its missing terminator — while genuine
+    // pre-terminator manifests (no marker) keep parsing via the legacy path.
+    s"""{"v":2,"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts,"count":${s.partitions.length}}"""
   }
 
   /** strict parse; ALL malformed-input failures (truncation mid-token, bad
@@ -718,8 +726,18 @@ object ManifestJson {
     // non-link commit, or byte truncation) must be rejected, not silently
     // parsed as a manifest with fewer partitions. Requiring the trailing
     // count terminator defeats the partition-boundary cut that a bare
-    // "ends with ]}" check would accept.
-    require(countTail.findFirstIn(json.trim).isDefined, "truncated manifest JSON (missing count terminator)")
+    // "ends with ]}" check would accept. BACKWARD COMPAT: manifests written
+    // before the terminator existed (no leading "v" marker, body ends in
+    // `]}`) still parse — rejecting them would wedge every pre-upgrade table.
+    // Their guarantee is what their writer provided (atomic link commits made
+    // truncation a non-link-fallback-only window); a truncated v2 body can
+    // never masquerade as one because the v marker sits in the first bytes.
+    val trimmed = json.trim
+    val hasCount = countTail.findFirstIn(trimmed).isDefined
+    if (!hasCount) {
+      require(!trimmed.startsWith("{\"v\":"), "truncated manifest JSON (missing count terminator)")
+      require(trimmed.endsWith("]}"), "truncated manifest JSON")
+    }
     val id = longAt(fieldPos("snapshot_id"))
     val parent = longAt(fieldPos("parent_id"))
     val (input, _) = stringAt(fieldPos("input"))
@@ -747,9 +765,12 @@ object ManifestJson {
     val result = parts.result()
     // cross-check the terminator count against what was actually parsed: a
     // body cut inside the partitions array that somehow retained a count
-    // tail, or a parser bug dropping entries, must fail loudly
-    val declared = longAt(fieldPos("count", i)) // i ≥ partitions-array start; escapes make a spoofed in-string key impossible
-    require(declared == result.length, s"manifest count mismatch: declared $declared, parsed ${result.length}")
+    // tail, or a parser bug dropping entries, must fail loudly. Legacy
+    // (pre-terminator) bodies have no count to check.
+    if (hasCount) {
+      val declared = longAt(fieldPos("count", i)) // i ≥ partitions-array start; escapes make a spoofed in-string key impossible
+      require(declared == result.length, s"manifest count mismatch: declared $declared, parsed ${result.length}")
+    }
     Snapshot(id, parent, input, result)
   }
 

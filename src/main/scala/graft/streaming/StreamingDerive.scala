@@ -58,6 +58,20 @@ object StreamingDerive {
     * data through the same snapshot machinery as batch tiers. Safe alongside
     * concurrent batch writers (optimistic CREATE_NEW retry). Fragmentation
     * from one-file-per-batch appends is bounded by `jobs.Maintain`.
+    *
+    * UPGRADE CONTRACT (identity change, one-time): builds before the
+    * queryId-aware identity keyed the replay guard on md5(path) alone.
+    * Upgrading across that boundary renames every stream's identity, so a
+    * batch left in the crash window by the OLD build (store commit durable,
+    * checkpoint offset not) would be re-committed once by the new build —
+    * its old lineage id is not probed. Operational rule: STOP each stream
+    * cleanly (let AvailableNow drain; verify the checkpoint's latest offset
+    * is committed) before upgrading, exactly as for any Spark checkpoint
+    * format migration. We deliberately do NOT probe the legacy path-only id:
+    * that id is indistinguishable from a pre-reset generation's, and trusting
+    * it would re-introduce the silent post-reset data drop this identity
+    * exists to fix — a one-time, detectable duplicate under a documented
+    * upgrade rule is strictly safer than silent loss.
     */
   def writeToTierStore(derived: DataFrame, base: String, tier: String, checkpoint: String): DataStreamWriter[Row] = {
     // stream identity = NORMALIZED checkpoint location + the checkpoint's

@@ -109,6 +109,26 @@ class MediaOpsSpec extends SparkTestBase {
       assert((small.getRGB(x, y) & 0xffffff) == cols(y * 2 + x), s"($x,$y)")
   }
 
+  test("frozen golden features: decode drift fails even when the q24 fixture is regenerated") {
+    // The q24 parquet fixture's expected_f0/expected_dims columns are written
+    // by the SAME build that later runs the query, so a decode bug introduced
+    // in a fixture-regenerating build would agree with its own goldens there.
+    // These literals were computed ONCE from a verified decode path and are
+    // frozen: any later change to PNG/WAV decode, luma/band-RMS math, the
+    // synthetic corpus recipe, or the batched extraction plumbing fails HERE,
+    // independent of fixture regeneration. If a change is INTENTIONAL, re-pin
+    // these values and bump the media fixture version in SparkEntry together.
+    val golden = Map(
+      0L -> Array(0.51335526f, 0.5095413f, 0.49177462f, 0.49906716f, 0.45949498f, 0.48620296f, 0.50683784f, 0.47418922f), // image/png
+      1L -> Array(0.35816646f, 0.35491943f, 0.34624016f, 0.3737333f, 0.33352304f, 0.37646368f, 0.34985647f, 0.36530262f), // audio/wav
+      2L -> Array(0.4436275f, 0.46985295f, 0.47401962f, 0.5703432f, 0.46678928f, 0.55968136f, 0.5345589f, 0.4604167f)     // video/mp4 (stub)
+    )
+    val got = MediaOps.extractFeatures(MediaOps.syntheticMedia(spark, 3)).collect().map(f => f.doc_id -> f.feature).toMap
+    assert(got.keySet == golden.keySet)
+    for ((id, exp) <- golden; (e, g) <- exp.zip(got(id)))
+      assert(math.abs(e - g) < 1e-6f, s"doc $id drifted: expected ${exp.toSeq}, got ${got(id).toSeq}")
+  }
+
   test("media features feed ANN cosine top-k") {
     val emb = MediaOps.toEmbeddings(MediaOps.extractFeatures(MediaOps.syntheticMedia(spark, 60)))
     val top = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 2), 5)

@@ -64,6 +64,52 @@ class TableStoreSpec extends SparkTestBase {
       "legacy snapshot read leaked post-rewrite data")
   }
 
+  test("manifest version compat: pre-terminator bodies parse, truncated v2 prefixes are rejected") {
+    val snap = Snapshot(3L, 2L, "in-x", Seq(
+      PartitionManifest("2024-01-01", 5L, 11L, Seq("2024-01-01/s000000003-a.parquet")),
+      PartitionManifest("2024-01-02", 7L, 22L, Seq("2024-01-02/s000000003-b.parquet"))))
+    val v2 = ManifestJson.render(snap)
+    assert(v2.startsWith("{\"v\":2,"), "render must lead with the version marker")
+    assert(ManifestJson.parse(v2) == snap)
+    // intermediate format (count terminator, no version marker) parses strictly
+    val v1 = "{" + v2.stripPrefix("{\"v\":2,")
+    assert(ManifestJson.parse(v1) == snap)
+    // LEGACY format (no marker, no count, body ends in `]}`) — written by
+    // pre-terminator builds; rejecting it would wedge every upgraded table
+    val legacy = v1.replaceFirst(",\"count\":\\d+\\}$", "}")
+    assert(legacy.endsWith("]}") && !legacy.contains("\"count\""))
+    assert(ManifestJson.parse(legacy) == snap)
+    // a v2 body cut exactly at a partition-object boundary ends in `]}` but
+    // still carries the leading marker → rejected, never a silent short parse
+    val cut = v2.substring(0, v2.indexOf("]}") + 2)
+    assert(cut.endsWith("]}"))
+    intercept[IllegalArgumentException](ManifestJson.parse(cut))
+    // count/partition mismatch fails loudly
+    intercept[IllegalArgumentException](ManifestJson.parse(v2.replaceFirst(""""count":2""", """"count":1""")))
+  }
+
+  test("ledger compaction and hasCommit survive pathological lineage ids") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 1), "day", "seed")
+    val ledger = Paths.get(s"$base/tier_x/_manifests/lineage.log")
+    // over-Long digit suffix matches the stream regex but overflows toLong;
+    // a malformed range line must answer false — neither may crash hasCommit
+    // or permanently poison compaction (Maintain runs it on every cycle)
+    val overLong = "stream-x-batch-99999999999999999999"
+    Files.writeString(ledger, s"$overLong\n#range\tstream-y-batch-\tlo\thi\nstream-z-batch-7\n")
+    assert(store.hasCommit(overLong), "over-Long id answers by equality")
+    assert(!store.hasCommit("stream-y-batch-3"), "malformed range answers false, not crash")
+    store.compactLineageLedger()
+    assert(store.hasCommit(overLong), "equality coverage preserved across compaction")
+    assert(store.hasCommit("stream-z-batch-7"), "well-formed id folded into a range")
+    assert(!store.hasCommit("stream-z-batch-8"))
+    // idempotent on the pathological content too
+    val after = Files.readString(ledger)
+    store.compactLineageLedger()
+    assert(Files.readString(ledger) == after)
+  }
+
   test("append mode merges partition entries; replay guard is queryable") {
     val base = tmp()
     val store = new TableStore(base, "t")
@@ -184,6 +230,8 @@ class TableStoreSpec extends SparkTestBase {
     for (i <- 0 until n) graft.streaming.StreamingDerive.appendBatch(store, mk(i), "s1", i.toLong)
     for (i <- Seq(0L, 1L, 5L)) graft.streaming.StreamingDerive.appendBatch(store, mk(1000 + i.toInt), "s2", i)
     store.write(TierBuilder.withDay(mk(9999)), "day", "batch-job-7", append = true)
+    // LAST commit is a streaming one → the kept manifest carries s3's lineage
+    graft.streaming.StreamingDerive.appendBatch(store, mk(2000), "s3", 0L)
     // expire to one snapshot → every other commit's lineage rolls into the ledger
     store.expireSnapshots(keepLast = 1)
     store.compactLineageLedger()
@@ -197,14 +245,18 @@ class TableStoreSpec extends SparkTestBase {
     assert(!store.hasCommit(s"stream-s1-batch-$n"))
     assert(store.hasCommit("stream-s2-batch-1") && store.hasCommit("stream-s2-batch-5"))
     assert(!store.hasCommit("stream-s2-batch-3"), "gap id must stay uncommitted")
-    assert(store.hasCommit("batch-job-7"), "live manifest lineage")
+    assert(store.hasCommit("batch-job-7"), "free-form batch lineage survives in the ledger")
     assert(!store.hasCommit("batch-job-8"))
     // idempotent: a second compaction changes nothing
     val before = Files.readString(ledger)
     store.compactLineageLedger()
     assert(Files.readString(ledger) == before)
-    // watermark GC: a DEAD stream's aged watermark is removed; a live
-    // stream's aged watermark survives (liveness, not just age, decides)
+    // watermark GC: liveness = appears in a KEPT manifest. Ledger-only
+    // streams (s1, s2 — all their snapshots expired) and never-committed
+    // streams ("dead") lose their AGED watermarks — ledger coverage is
+    // permanent, so ledger-based liveness would leak one watermark per reset
+    // generation forever. s3 (in the kept manifest) survives regardless of
+    // age; a fresh mtime would also protect an active stream (not aged here).
     store.setStreamWatermark("dead", 3L)
     val mdir = Paths.get(s"$base/tier_x/_manifests")
     val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200 * 1000L)
@@ -212,11 +264,20 @@ class TableStoreSpec extends SparkTestBase {
     try wms.iterator().asScala.filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.setLastModifiedTime(_, old))
     finally wms.close()
     val deleted = store.gcStreamWatermarks()
-    assert(deleted == 1, s"expected exactly the dead stream's watermark gone, deleted=$deleted")
-    assert(store.streamWatermark("s1").contains((n - 1).toLong), "live stream watermark must survive GC")
-    assert(store.streamWatermark("dead").isEmpty)
+    assert(deleted == 3, s"expected s1+s2+dead watermarks gone, deleted=$deleted")
+    assert(store.streamWatermark("s3").contains(0L), "manifest-live stream watermark must survive GC")
+    assert(store.streamWatermark("s1").isEmpty && store.streamWatermark("dead").isEmpty)
+    // GC is SAFE, not just bounded: a replayed batch of a GC'd stream falls
+    // back to the ledger probe and is skipped (watermark repaired, no rows
+    // double-committed) — the watermark is a fast path, never the authority
+    val rowsBefore = store.read(spark).count()
+    graft.streaming.StreamingDerive.forgetReplayChecks()
+    graft.streaming.StreamingDerive.appendBatch(store, mk(0), "s1", 0L)
+    assert(store.read(spark).count() == rowsBefore, "GC'd watermark must not enable a double commit")
+    assert(store.streamWatermark("s1").contains(0L), "replay probe must repair the watermark")
     // _manifests entry count bounded after N >> keepLast commits:
     // keepLast snapshot JSONs + lineage.log + one watermark per LIVE stream
+    // (+ s1's just-repaired one)
     val entries = Files.list(mdir)
     val names = try entries.iterator().asScala.map(_.getFileName.toString).toVector finally entries.close()
     assert(names.count(_.startsWith("snapshot-")) == 1, s"snapshots not expired: $names")
