@@ -56,16 +56,20 @@ object Rollup {
   * Usage: Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
   */
 object Maintain {
-  def main(args: Array[String]): Unit = {
-    val storeBase = args(0)
-    val tier = args(1)
-    val maxFiles = if (args.length > 2) args(2).toInt else 8
-    val keepSnapshots = if (args.length > 3) args(3).toInt else 3
-    val ttlCutoff = if (args.length > 4) Some(args(4)) else None
-    val spark = Jobs.session("graft-maintain")
-    spark.sparkContext.setLogLevel("WARN")
-    val store = new TableStore(storeBase, s"tier_$tier")
+  final case class Report(compacted: Int, filesReclaimed: Int, watermarksGCed: Int)
 
+  /** one maintenance cycle over a tier store (separated from `main` so specs
+    * can drive the full job against a shared test session)
+    */
+  def run(
+      spark: SparkSession,
+      storeBase: String,
+      tier: String,
+      maxFiles: Int = 8,
+      keepSnapshots: Int = 3,
+      ttlCutoff: Option[String] = None
+  ): Report = {
+    val store = new TableStore(storeBase, s"tier_$tier")
     for (cutoff <- ttlCutoff) {
       val snap = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
       println(s"""{"step":"ttl","cutoff":"$cutoff","snapshot":${snap.snapshotId},"partitions":${snap.partitions.size}}""")
@@ -90,7 +94,19 @@ object Maintain {
     // GC is a single-maintenance-writer operation — this job is that writer.
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
     val wmDeleted = store.gcStreamWatermarks()
-    println(s"""{"step":"done","tier":"$tier","compacted":$compacted,"filesReclaimed":$reclaimed,"watermarksGCed":$wmDeleted}""")
+    Report(compacted, reclaimed, wmDeleted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val storeBase = args(0)
+    val tier = args(1)
+    val maxFiles = if (args.length > 2) args(2).toInt else 8
+    val keepSnapshots = if (args.length > 3) args(3).toInt else 3
+    val ttlCutoff = if (args.length > 4) Some(args(4)) else None
+    val spark = Jobs.session("graft-maintain")
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, storeBase, tier, maxFiles, keepSnapshots, ttlCutoff)
+    println(s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}""")
     spark.stop()
   }
 }

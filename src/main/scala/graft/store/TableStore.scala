@@ -146,13 +146,22 @@ final class TableStore(base: String, table: String) {
     if (!line.startsWith(rangeMarker)) line == inputSnapshot
     else
       line.split('\t') match {
-        case Array(_, prefix, lo, hi) if inputSnapshot.startsWith(prefix) =>
-          // toLongOption throughout: a malformed range line (kept verbatim by
-          // compaction) must answer false, not crash every hasCommit forever
-          (inputSnapshot.substring(prefix.length).toLongOption, lo.toLongOption, hi.toLongOption) match {
-            case (Some(n), Some(l), Some(h)) => n >= l && n <= h
-            case _                           => false
+        case Array(_, prefix, lo, hi) =>
+          // a 4-field range line is compaction-written; numbers that no
+          // longer parse mean LEDGER CORRUPTION, and the invariant above
+          // (failures must propagate, never read as "not committed") applies:
+          // silently answering false would green-light a double commit for
+          // every id the corrupted range used to cover
+          (lo.toLongOption, hi.toLongOption) match {
+            case (Some(l), Some(h)) =>
+              inputSnapshot.startsWith(prefix) &&
+              inputSnapshot.substring(prefix.length).toLongOption.exists(n => n >= l && n <= h)
+            case _ =>
+              throw new IllegalStateException(s"corrupted lineage ledger range line: $line")
           }
+        // not compaction-shaped: only a deliberately "#range\t"-prefixed
+        // free-form id lands here — unanswerable by equality (documented),
+        // covers nothing
         case _ => false
       }
 
@@ -179,14 +188,19 @@ final class TableStore(base: String, table: String) {
     // toLongOption guards: lineage ids are CALLER-SUPPLIED (any string can be
     // an inputSnapshot), so an over-Long digit suffix matches the regex but
     // overflows toLong. hasCommit answers such ids by equality; compaction
-    // must route them to freeForm, not crash — an unguarded throw here would
-    // permanently poison every subsequent expireSnapshots/Maintain run.
+    // routes them to freeForm — an unguarded throw here would permanently
+    // poison every subsequent expireSnapshots/Maintain run over a legitimate
+    // id. A compaction-shaped (4-field) range line with unparseable numbers
+    // is CORRUPTION, and throws — same loud contract as lineCovers.
     for (line <- lines if line.nonEmpty)
       if (line.startsWith(rangeMarker))
         line.split('\t') match {
-          case Array(_, prefix, lo, hi) if lo.toLongOption.isDefined && hi.toLongOption.isDefined =>
-            add(prefix, lo.toLong, hi.toLong)
-          case _ => freeForm += line // malformed range: keep verbatim
+          case Array(_, prefix, lo, hi) =>
+            (lo.toLongOption, hi.toLongOption) match {
+              case (Some(l), Some(h)) => add(prefix, l, h)
+              case _ => throw new IllegalStateException(s"corrupted lineage ledger range line: $line")
+            }
+          case _ => freeForm += line // "#range\t"-prefixed free-form id: keep verbatim
         }
       else
         line match {
@@ -218,9 +232,14 @@ final class TableStore(base: String, table: String) {
     * leak one watermark file. Deleting any watermark is CORRECT regardless:
     * it is only the O(1) fast path — a live stream whose watermark vanishes
     * pays one hasCommit probe (manifests + ledger, authoritative) on its next
-    * replayed batch and then rewrites the watermark. Returns files deleted.
+    * replayed batch and then rewrites the watermark. The kept-manifest signal
+    * is BEST-EFFORT (maintenance TTL/compaction commits can occupy all kept
+    * snapshots with non-stream lineage), so the age guard is the real
+    * protection for infrequent streams — hence a default generous enough
+    * that any stream committing at least weekly never loses its fast path.
+    * Returns files deleted.
     */
-  def gcStreamWatermarks(maxAgeMs: Long = 3600 * 1000L): Int = {
+  def gcStreamWatermarks(maxAgeMs: Long = 7L * 24 * 3600 * 1000L): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
     val liveStreamIds = snapshots.map(_.inputSnapshot).flatMap {
       case streamLineageId(prefix, _) => Some(prefix)
@@ -737,6 +756,12 @@ object ManifestJson {
     if (!hasCount) {
       require(!trimmed.startsWith("{\"v\":"), "truncated manifest JSON (missing count terminator)")
       require(trimmed.endsWith("]}"), "truncated manifest JSON")
+      // the partition-boundary cut that "ends with ]}" alone would accept
+      // leaves the outer object and the partitions array UNCLOSED — require
+      // structural balance (outside strings), which every complete body of
+      // any version has. This closes the truncation hole for count-less
+      // legacy bodies AND for terminator-era bodies cut before their count.
+      require(balancedJson(trimmed), "truncated manifest JSON (unbalanced)")
     }
     val id = longAt(fieldPos("snapshot_id"))
     val parent = longAt(fieldPos("parent_id"))
@@ -776,6 +801,33 @@ object ManifestJson {
 
   /** the document must END in the count terminator */
   private val countTail = """"count":\d+\}$""".r
+
+  /** braces/brackets balance with strings skipped (partition values may
+    * contain raw brackets; q() escapes only quote and backslash)
+    */
+  private def balancedJson(json: String): Boolean = {
+    var braces = 0
+    var brackets = 0
+    var inStr = false
+    var i = 0
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else
+        c match {
+          case '"' => inStr = true
+          case '{' => braces += 1
+          case '}' => braces -= 1
+          case '[' => brackets += 1
+          case ']' => brackets -= 1
+          case _   => ()
+        }
+      i += 1
+    }
+    braces == 0 && brackets == 0 && !inStr
+  }
 
   private def q(s: String): String =
     "\"" + s.flatMap {

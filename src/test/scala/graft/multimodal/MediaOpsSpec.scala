@@ -125,8 +125,12 @@ class MediaOpsSpec extends SparkTestBase {
     )
     val got = MediaOps.extractFeatures(MediaOps.syntheticMedia(spark, 3)).collect().map(f => f.doc_id -> f.feature).toMap
     assert(got.keySet == golden.keySet)
-    for ((id, exp) <- golden; (e, g) <- exp.zip(got(id)))
-      assert(math.abs(e - g) < 1e-6f, s"doc $id drifted: expected ${exp.toSeq}, got ${got(id).toSeq}")
+    for ((id, exp) <- golden) {
+      // zip would silently truncate — a dims regression must fail too
+      assert(got(id).length == exp.length, s"doc $id dims drifted: ${got(id).length} vs ${exp.length}")
+      for ((e, g) <- exp.zip(got(id)))
+        assert(math.abs(e - g) < 1e-6f, s"doc $id drifted: expected ${exp.toSeq}, got ${got(id).toSeq}")
+    }
   }
 
   test("media features feed ANN cosine top-k") {

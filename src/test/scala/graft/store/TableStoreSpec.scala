@@ -84,6 +84,17 @@ class TableStoreSpec extends SparkTestBase {
     val cut = v2.substring(0, v2.indexOf("]}") + 2)
     assert(cut.endsWith("]}"))
     intercept[IllegalArgumentException](ManifestJson.parse(cut))
+    // the SAME cut of a count-era (no marker) or legacy body is rejected by
+    // the structural-balance check: the outer object and partitions array
+    // are left unclosed — a short parse here would let the next
+    // expireSnapshots physically delete the truncated-away partitions' files
+    val cutV1 = v1.substring(0, v1.indexOf("]}") + 2)
+    intercept[IllegalArgumentException](ManifestJson.parse(cutV1))
+    // …while raw brackets inside partition-value STRINGS don't break balance
+    val bracketed = ManifestJson.render(snap.copy(partitions =
+      snap.partitions.take(1).map(_.copy(partition = "a{b[c"))))
+    val bracketedLegacy = ("{" + bracketed.stripPrefix("{\"v\":2,")).replaceFirst(",\"count\":\\d+\\}$", "}")
+    assert(ManifestJson.parse(bracketedLegacy).partitions.head.partition == "a{b[c")
     // count/partition mismatch fails loudly
     intercept[IllegalArgumentException](ManifestJson.parse(v2.replaceFirst(""""count":2""", """"count":1""")))
   }
@@ -93,13 +104,12 @@ class TableStoreSpec extends SparkTestBase {
     val store = new TableStore(base, "tier_x")
     store.write(df("2024-01-01" -> 1), "day", "seed")
     val ledger = Paths.get(s"$base/tier_x/_manifests/lineage.log")
-    // over-Long digit suffix matches the stream regex but overflows toLong;
-    // a malformed range line must answer false — neither may crash hasCommit
-    // or permanently poison compaction (Maintain runs it on every cycle)
+    // over-Long digit suffix matches the stream regex but overflows toLong:
+    // a LEGITIMATE caller-supplied id — equality semantics, never a crash,
+    // and compaction (Maintain runs it on every cycle) must not poison on it
     val overLong = "stream-x-batch-99999999999999999999"
-    Files.writeString(ledger, s"$overLong\n#range\tstream-y-batch-\tlo\thi\nstream-z-batch-7\n")
+    Files.writeString(ledger, s"$overLong\nstream-z-batch-7\n")
     assert(store.hasCommit(overLong), "over-Long id answers by equality")
-    assert(!store.hasCommit("stream-y-batch-3"), "malformed range answers false, not crash")
     store.compactLineageLedger()
     assert(store.hasCommit(overLong), "equality coverage preserved across compaction")
     assert(store.hasCommit("stream-z-batch-7"), "well-formed id folded into a range")
@@ -108,6 +118,12 @@ class TableStoreSpec extends SparkTestBase {
     val after = Files.readString(ledger)
     store.compactLineageLedger()
     assert(Files.readString(ledger) == after)
+    // a compaction-shaped range line with unparseable numbers is CORRUPTION:
+    // silently answering false would green-light a double commit for every
+    // id the range used to cover — both readers must fail LOUDLY instead
+    Files.writeString(ledger, s"$after#range\tstream-y-batch-\tlo\thi\n")
+    intercept[IllegalStateException](store.hasCommit("stream-y-batch-3"))
+    intercept[IllegalStateException](store.compactLineageLedger())
   }
 
   test("append mode merges partition entries; replay guard is queryable") {
@@ -259,7 +275,7 @@ class TableStoreSpec extends SparkTestBase {
     // age; a fresh mtime would also protect an active stream (not aged here).
     store.setStreamWatermark("dead", 3L)
     val mdir = Paths.get(s"$base/tier_x/_manifests")
-    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200 * 1000L)
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 8L * 24 * 3600 * 1000L)
     val wms = Files.list(mdir)
     try wms.iterator().asScala.filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.setLastModifiedTime(_, old))
     finally wms.close()
