@@ -56,10 +56,17 @@ object Rollup {
   * Usage: Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
   */
 object Maintain {
-  final case class Report(compacted: Int, filesReclaimed: Int, watermarksGCed: Int)
+  final case class Report(
+      compacted: Int,
+      filesReclaimed: Int,
+      watermarksGCed: Int,
+      ttlSnapshot: Option[Long] = None,
+      ttlPartitions: Option[Int] = None
+  )
 
   /** one maintenance cycle over a tier store (separated from `main` so specs
-    * can drive the full job against a shared test session)
+    * and embedding services can drive the full job against their own session;
+    * all reporting rides the returned Report — `main` does the printing)
     */
   def run(
       spark: SparkSession,
@@ -70,10 +77,7 @@ object Maintain {
       ttlCutoff: Option[String] = None
   ): Report = {
     val store = new TableStore(storeBase, s"tier_$tier")
-    for (cutoff <- ttlCutoff) {
-      val snap = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
-      println(s"""{"step":"ttl","cutoff":"$cutoff","snapshot":${snap.snapshotId},"partitions":${snap.partitions.size}}""")
-    }
+    val ttlSnap = ttlCutoff.map(cutoff => store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff"))
     val fragmented = store.currentSnapshot.toSeq
       .flatMap(_.partitions)
       .filter(_.files.size > maxFiles)
@@ -94,7 +98,7 @@ object Maintain {
     // GC is a single-maintenance-writer operation — this job is that writer.
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
     val wmDeleted = store.gcStreamWatermarks()
-    Report(compacted, reclaimed, wmDeleted)
+    Report(compacted, reclaimed, wmDeleted, ttlSnap.map(_.snapshotId), ttlSnap.map(_.partitions.size))
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,6 +110,8 @@ object Maintain {
     val spark = Jobs.session("graft-maintain")
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, storeBase, tier, maxFiles, keepSnapshots, ttlCutoff)
+    for ((cutoff, sid) <- ttlCutoff.zip(r.ttlSnapshot))
+      println(s"""{"step":"ttl","cutoff":"$cutoff","snapshot":$sid,"partitions":${r.ttlPartitions.getOrElse(0)}}""")
     println(s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}""")
     spark.stop()
   }

@@ -142,27 +142,37 @@ final class TableStore(base: String, table: String) {
     */
   private val rangeMarker = "#range\t"
 
+  /** parse a "#range\t"-marked line: Some((prefix, lo, hi)) for a well-formed
+    * compaction-written range; None when the line is not compaction-shaped
+    * (a deliberately "#range\t"-prefixed free-form id — unanswerable by
+    * equality, documented). A 4-field line whose numbers no longer parse is
+    * LEDGER CORRUPTION and THROWS: per the hasCommit invariant, failures must
+    * propagate — silently answering "not committed" would green-light a
+    * double commit for every id the corrupted range used to cover. Single
+    * parser shared by lineCovers and compactLineageLedger so coverage and
+    * compaction can never disagree about what a line means.
+    */
+  private def parseRangeLine(line: String): Option[(String, Long, Long)] =
+    line.split('\t') match {
+      case Array(_, prefix, lo, hi) =>
+        (lo.toLongOption, hi.toLongOption) match {
+          case (Some(l), Some(h)) => Some((prefix, l, h))
+          case _                  => throw new IllegalStateException(s"corrupted lineage ledger range line: $line")
+        }
+      case _ => None
+    }
+
   private def lineCovers(line: String, inputSnapshot: String): Boolean =
     if (!line.startsWith(rangeMarker)) line == inputSnapshot
     else
-      line.split('\t') match {
-        case Array(_, prefix, lo, hi) =>
-          // a 4-field range line is compaction-written; numbers that no
-          // longer parse mean LEDGER CORRUPTION, and the invariant above
-          // (failures must propagate, never read as "not committed") applies:
-          // silently answering false would green-light a double commit for
-          // every id the corrupted range used to cover
-          (lo.toLongOption, hi.toLongOption) match {
-            case (Some(l), Some(h)) =>
-              inputSnapshot.startsWith(prefix) &&
-              inputSnapshot.substring(prefix.length).toLongOption.exists(n => n >= l && n <= h)
-            case _ =>
-              throw new IllegalStateException(s"corrupted lineage ledger range line: $line")
-          }
-        // not compaction-shaped: only a deliberately "#range\t"-prefixed
-        // free-form id lands here — unanswerable by equality (documented),
-        // covers nothing
-        case _ => false
+      parseRangeLine(line).exists { case (prefix, l, h) =>
+        // CANONICAL digits only (toString round-trip): ranges are built
+        // exclusively from canonical ids, so a leading-zero spelling like
+        // "batch-007" is a textually different id that must keep answering
+        // by exact equality, not numeric coincidence
+        inputSnapshot.startsWith(prefix) &&
+        inputSnapshot.substring(prefix.length).toLongOption
+          .exists(n => n.toString == inputSnapshot.substring(prefix.length) && n >= l && n <= h)
       }
 
   private val streamLineageId = "^(stream-.+-batch-)(\\d+)$".r
@@ -185,27 +195,24 @@ final class TableStore(base: String, table: String) {
     val freeForm = scala.collection.mutable.LinkedHashSet.empty[String]
     def add(prefix: String, lo: Long, hi: Long): Unit =
       intervals(prefix) = intervals.getOrElse(prefix, Nil) :+ ((lo, hi))
-    // toLongOption guards: lineage ids are CALLER-SUPPLIED (any string can be
-    // an inputSnapshot), so an over-Long digit suffix matches the regex but
-    // overflows toLong. hasCommit answers such ids by equality; compaction
-    // routes them to freeForm — an unguarded throw here would permanently
-    // poison every subsequent expireSnapshots/Maintain run over a legitimate
-    // id. A compaction-shaped (4-field) range line with unparseable numbers
-    // is CORRUPTION, and throws — same loud contract as lineCovers.
+    // Only CANONICAL ids fold into ranges. Lineage ids are CALLER-SUPPLIED
+    // (any string can be an inputSnapshot), so the digit suffix can overflow
+    // Long or carry leading zeros ("batch-007"); folding either would CHANGE
+    // coverage — over-Long by crashing maintenance forever, leading zeros by
+    // making the numerically-equal-but-textually-different id "batch-7" read
+    // as committed ("nothing new" guarantee). Both stay freeForm (exact
+    // equality). parseRangeLine throws on corrupted range lines — same loud
+    // contract as lineCovers.
     for (line <- lines if line.nonEmpty)
       if (line.startsWith(rangeMarker))
-        line.split('\t') match {
-          case Array(_, prefix, lo, hi) =>
-            (lo.toLongOption, hi.toLongOption) match {
-              case (Some(l), Some(h)) => add(prefix, l, h)
-              case _ => throw new IllegalStateException(s"corrupted lineage ledger range line: $line")
-            }
-          case _ => freeForm += line // "#range\t"-prefixed free-form id: keep verbatim
+        parseRangeLine(line) match {
+          case Some((prefix, l, h)) => add(prefix, l, h)
+          case None                 => freeForm += line // "#range\t"-prefixed free-form id: keep verbatim
         }
       else
         line match {
-          case streamLineageId(prefix, n) if n.toLongOption.isDefined => add(prefix, n.toLong, n.toLong)
-          case other                                                  => freeForm += other
+          case streamLineageId(prefix, n) if n.toLongOption.exists(_.toString == n) => add(prefix, n.toLong, n.toLong)
+          case other                                                                => freeForm += other
         }
     val out = new StringBuilder
     for (id <- freeForm) out.append(id).append('\n')
@@ -241,10 +248,9 @@ final class TableStore(base: String, table: String) {
     */
   def gcStreamWatermarks(maxAgeMs: Long = 7L * 24 * 3600 * 1000L): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
-    val liveStreamIds = snapshots.map(_.inputSnapshot).flatMap {
-      case streamLineageId(prefix, _) => Some(prefix)
-      case _                          => None
-    }.collect { case p if p.startsWith("stream-") && p.endsWith("-batch-") => p.stripPrefix("stream-").stripSuffix("-batch-") }
+    val liveStreamIds = snapshots.map(_.inputSnapshot).collect {
+      case streamLineageId(prefix, _) => prefix.stripPrefix("stream-").stripSuffix("-batch-")
+    }
     val expected = liveStreamIds.map(watermarkPath(_).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val candidates = listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith("watermark-")).toSeq)

@@ -168,8 +168,10 @@ object StreamingDerive {
     inProcessAttempted.clear()
   }
 
-  /** test hook: replicate the pre-write attempt marker so specs can stage the
-    * interrupted-after-commit crash window without a real kill
+  /** PRODUCTION pre-write marker (load-bearing — called by `appendBatch`
+    * before every durable write; removing it reopens the
+    * interrupted-after-commit double-commit window). Exposed `private[graft]`
+    * so specs can additionally stage that crash window without a real kill.
     */
   private[graft] def recordAttempt(streamId: String, id: Long): Unit =
     inProcessAttempted.merge(streamId, id, (a, b) => if (a.longValue >= b.longValue) a else b)

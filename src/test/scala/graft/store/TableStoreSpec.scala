@@ -108,12 +108,17 @@ class TableStoreSpec extends SparkTestBase {
     // a LEGITIMATE caller-supplied id — equality semantics, never a crash,
     // and compaction (Maintain runs it on every cycle) must not poison on it
     val overLong = "stream-x-batch-99999999999999999999"
-    Files.writeString(ledger, s"$overLong\nstream-z-batch-7\n")
+    Files.writeString(ledger, s"$overLong\nstream-z-batch-7\nstream-w-batch-007\n")
     assert(store.hasCommit(overLong), "over-Long id answers by equality")
     store.compactLineageLedger()
     assert(store.hasCommit(overLong), "equality coverage preserved across compaction")
     assert(store.hasCommit("stream-z-batch-7"), "well-formed id folded into a range")
     assert(!store.hasCommit("stream-z-batch-8"))
+    // leading-zero ids are textually distinct: compaction must not broaden
+    // coverage to the numerically-equal canonical spelling (or vice versa)
+    assert(store.hasCommit("stream-w-batch-007"), "leading-zero id keeps equality coverage")
+    assert(!store.hasCommit("stream-w-batch-7"), "canonical spelling was never committed")
+    assert(!store.hasCommit("stream-z-batch-07"), "non-canonical spelling of a ranged id was never committed")
     // idempotent on the pathological content too
     val after = Files.readString(ledger)
     store.compactLineageLedger()

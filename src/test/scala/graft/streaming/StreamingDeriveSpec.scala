@@ -75,7 +75,7 @@ class StreamingDeriveSpec extends SparkTestBase {
       val q = StreamingDerive
         .writeToTierStore(StreamingDerive.deriveStream(input.toDF(), 60L), out, "stream", s"$out/ckpt")
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "AvailableNow query hung past the drain timeout")
     }
     // two separate drains → at least two append commits
     val (first, second) = turns.splitAt(turns.length / 2)
@@ -130,7 +130,7 @@ class StreamingDeriveSpec extends SparkTestBase {
       val q = StreamingDerive
         .writeToTierStore(StreamingDerive.deriveStream(input.toDF(), 60L), out, "reset", ckpt)
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "AvailableNow query hung past the drain timeout")
       ()
     }
     val store = new graft.store.TableStore(out, "tier_reset")
