@@ -99,6 +99,25 @@ class TableStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException](ManifestJson.parse(v2.replaceFirst(""""count":2""", """"count":1""")))
   }
 
+  test("no strict prefix of a rendered manifest parses — truncation at ANY byte is rejected") {
+    // the load-bearing guarantee behind the non-link commit fallback: a
+    // reader racing a writer (or a crash-truncated file) must never see a
+    // valid SHORTER manifest. Exercised for both the v2 format and the
+    // legacy (count-less) body the compat path accepts, with partition
+    // values containing quotes, backslashes and raw brackets.
+    val snap = Snapshot(7L, 6L, "in-\"x\\y", Seq(
+      PartitionManifest("2024-01-01", 5L, 11L, Seq("2024-01-01/s000000007-a.parquet")),
+      PartitionManifest("a{b[c\"d\\e", 7L, -22L, Seq("p/f1.parquet", "p/f2.parquet")),
+      PartitionManifest("z", 0L, 0L, Seq.empty)))
+    val v2 = ManifestJson.render(snap)
+    assert(ManifestJson.parse(v2) == snap)
+    val legacy = ("{" + v2.stripPrefix("{\"v\":2,")).replaceFirst(",\"count\":\\d+\\}$", "}")
+    assert(ManifestJson.parse(legacy) == snap)
+    for (doc <- Seq(v2, legacy); i <- 1 until doc.length)
+      assert(scala.util.Try(ManifestJson.parse(doc.substring(0, i))).isFailure,
+        s"prefix of length $i parsed as a valid manifest: ${doc.substring(0, i)}")
+  }
+
   test("ledger compaction and hasCommit survive pathological lineage ids") {
     val base = tmp()
     val store = new TableStore(base, "tier_x")
