@@ -30,16 +30,7 @@ object Bench {
     // headline: derive + tier ladder over synthetic transcripts
     val (pointsPerSec, tierRows, rollupSec) = rollupThroughput(spark, turns, cpus.toInt)
 
-    // a query that throws must surface as a FAILURE, not as a plausible
-    // elapsed time (a broken query would otherwise read as a fast one)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors(name) = e.getClass.getSimpleName; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -51,6 +42,27 @@ object Bench {
       s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec}"""
     )
     spark.stop()
+  }
+
+  /** Time each query's full action. A query that throws must surface as a
+    * FAILURE (-1 elapsed + an entry in the error map), not as a plausible
+    * elapsed time — a broken query would otherwise read as a FAST one in the
+    * bench JSON.
+    */
+  def timeQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+  ): (Seq[(String, Double)], collection.Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => errors(name) = e.getClass.getSimpleName; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    (results, errors)
   }
 
   /** Build the synthetic corpus once (written to parquet so the measured job
