@@ -101,6 +101,22 @@ class OpsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .toSet
     assert(ivf == ivf2)
+    // EXHAUSTIVE probing (nProbe == nCells) must equal brute force EXACTLY
+    // (ranks included): every vector is a candidate, so any difference means
+    // a scoring/assignment bug, not an approximation artifact. This is the
+    // semantic identity the recall floor can't see (q27 is rows-only at the
+    // driver gate — iterative Lloyd is not DuckDB-expressible).
+    val exhaustive = Ann
+      .ivfTopK(emb, queries, 10, nCells = 8, nProbe = 8, lloydIters = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+      .toSet
+    val bruteRanked = Ann
+      .bruteForceTopK(emb, queries, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+      .toSet
+    assert(exhaustive == bruteRanked, "nProbe == nCells must reduce IVF to exact brute force")
   }
 
   test("embedding near-dup pairs find planted duplicates") {
