@@ -58,8 +58,11 @@ object Bench {
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
+        // NonFatal only: an OOM/VM error must ABORT the bench — timing the
+        // remaining queries on a corrupted JVM would print inflated-but-
+        // plausible values, the exact failure mode this method exists to stop
         try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors(name) = e.getClass.getSimpleName; false }
+        catch { case scala.util.control.NonFatal(e) => errors(name) = e.getClass.getSimpleName; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     (results, errors)

@@ -82,11 +82,14 @@ class OpsSpec extends SparkTestBase {
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
     val queries = emb.where(col("vec_id") < 3)
-    val brute = Ann
+    // one brute-force run serves both the recall floor (pairs) and the
+    // exhaustive-equivalence check (ranks) below
+    val bruteRanked = Ann
       .bruteForceTopK(emb, queries, 10)
       .collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
       .toSet
+    val brute = bruteRanked.map { case (q, n, _) => (q, n) }
     val ivf = Ann
       .ivfTopK(emb, queries, 10, nCells = 8, nProbe = 4, lloydIters = 2)
       .collect()
@@ -108,11 +111,6 @@ class OpsSpec extends SparkTestBase {
     // driver gate — iterative Lloyd is not DuckDB-expressible).
     val exhaustive = Ann
       .ivfTopK(emb, queries, 10, nCells = 8, nProbe = 8, lloydIters = 2)
-      .collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
-      .toSet
-    val bruteRanked = Ann
-      .bruteForceTopK(emb, queries, 10)
       .collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
       .toSet
