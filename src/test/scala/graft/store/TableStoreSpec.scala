@@ -331,6 +331,35 @@ class TableStoreSpec extends SparkTestBase {
     finally s.close()
   }
 
+  test("two concurrent streams appending to ONE table: exactly-once, isolated watermarks") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    graft.streaming.StreamingDerive.forgetReplayChecks()
+    def mk(tag: Int, i: Int) =
+      Seq(("sc", "m", 1700000000L + (tag * 100000 + i) * 60L, i.toDouble)).toDF("scope", "metric", "bucket", "value")
+    val n = 20
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("sA" -> 1, "sB" -> 2).map { case (sid, tag) =>
+      new Thread(() =>
+        try for (i <- 0 until n) graft.streaming.StreamingDerive.appendBatch(store, mk(tag, i), sid, i.toLong)
+        catch { case e: Throwable => failures.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"concurrent stream appends failed: ${Option(failures.peek()).map(_.toString)}")
+    // exactly-once per stream: every batch's lineage committed, rows add up,
+    // per-stream watermarks isolated at their own high-water mark
+    assert(store.read(spark).count() == 2L * n, "each batch's single row lands exactly once")
+    for (sid <- Seq("sA", "sB")) {
+      assert(store.streamWatermark(sid).contains((n - 1).toLong), s"$sid watermark")
+      for (i <- 0 until n) assert(store.hasCommit(s"stream-$sid-batch-$i"), s"$sid batch $i")
+    }
+    // a replay on either stream after the interleaving is still skipped
+    graft.streaming.StreamingDerive.appendBatch(store, mk(1, 0), "sA", 0L)
+    assert(store.read(spark).count() == 2L * n, "replay must not double-commit")
+  }
+
   test("a FAILED staging write leaks no .stage-* directory") {
     val base = tmp()
     val store = new TableStore(base, "t")
