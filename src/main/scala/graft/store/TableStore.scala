@@ -59,7 +59,22 @@ final case class Snapshot(
   */
 final class ConcurrentTableModification(msg: String) extends RuntimeException(msg)
 
-final class TableStore(base: String, table: String) {
+/** another maintenance writer holds this table's lease — the caller must
+  * NOT proceed (skipping is safe: the holder is doing the same job); a
+  * dedicated type so schedulers can distinguish "already running" from a
+  * real fault.
+  */
+final class MaintenanceLockHeld(msg: String) extends RuntimeException(msg)
+
+object TableStore {
+  /** stale-lease horizon: a maintenance op is file deletes + one ledger
+    * rewrite (seconds at 100 TB metadata scale — no Spark jobs run under the
+    * lock), so a lock this old can only belong to a crashed holder.
+    */
+  val DefaultMaintenanceLockTtlMs: Long = 30L * 60 * 1000
+}
+
+final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs) {
 
   private def dataDir = s"$base/$table/data"
   private def manifestDir = Paths.get(s"$base/$table/_manifests")
@@ -128,6 +143,68 @@ final class TableStore(base: String, table: String) {
     scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().exists(lineCovers(_, inputSnapshot))).get
   }
 
+  // ---- maintenance lease -----------------------------------------------------
+  // expireSnapshots / compactLineageLedger / gcStreamWatermarks each do a
+  // read-modify-write over SHARED unversioned state (the lineage ledger, the
+  // watermark files) that the snapshot CAS cannot protect: a ledger APPEND
+  // (expiry) racing the compaction REWRITE in another process can lose the
+  // append — a lost line makes `hasCommit` answer false for an expired
+  // streaming batch and green-lights a silent double commit on replay. The
+  // single-maintenance-writer contract is therefore LOCK-ENFORCED, not
+  // convention: each op runs under an exclusive lease file claimed with the
+  // same CREATE_NEW CAS the commit path uses.
+
+  private def maintenanceLockPath = manifestDir.resolve("maintenance.lock")
+
+  /** Run `f` under the table's exclusive maintenance lease.
+    *  - live holder (lock mtime younger than the TTL) → MaintenanceLockHeld,
+    *    loudly — a second Maintain must skip or fail, never interleave;
+    *  - stale lock (crashed holder) → stolen via atomic rename: exactly one
+    *    stealer wins the move, losers loop back to re-acquire;
+    *  - release deletes the lock only if it still holds OUR body, so a
+    *    holder that overran the TTL and was superseded cannot delete the
+    *    superseder's lease.
+    */
+  private def withMaintenanceLock[A](op: String)(f: => A): A = {
+    Files.createDirectories(manifestDir)
+    val body = s"pid=${ProcessHandle.current().pid()} op=$op nonce=${java.util.UUID.randomUUID()}"
+    var attempts = 0
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.writeString(maintenanceLockPath, body, StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > 5) throw new MaintenanceLockHeld(s"maintenance lock on $table: gave up after $attempts acquisition attempts")
+          val ageMs =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis
+            catch { case _: java.nio.file.NoSuchFileException => -1L } // released between probe and stat — retry
+          if (ageMs >= 0 && ageMs < maintenanceLockTtlMs) {
+            val holder = try Files.readString(maintenanceLockPath) catch { case _: java.io.IOException => "<unreadable>" }
+            throw new MaintenanceLockHeld(
+              s"maintenance lock on $table held by [$holder] for ${ageMs}ms (ttl ${maintenanceLockTtlMs}ms) — another maintenance writer is active"
+            )
+          }
+          if (ageMs >= maintenanceLockTtlMs) {
+            // crashed holder: steal by ATOMIC rename — the one stealer whose
+            // move succeeds proceeds to re-acquire; others see NoSuchFile
+            val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
+            try {
+              Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(grave)
+            } catch { case _: java.nio.file.NoSuchFileException => () }
+          }
+      }
+    }
+    try f
+    finally {
+      try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
+      catch { case _: java.io.IOException => () } // superseded after TTL overrun, or already gone
+    }
+  }
+
   // ---- lineage ledger compaction ---------------------------------------------
   // The ledger grows one line per expired snapshot FOREVER (months of
   // micro-batches → unbounded file + linear hasCommit scans). Streaming
@@ -182,11 +259,17 @@ final class TableStore(base: String, table: String) {
     * move (concurrent `hasCommit` readers see the old or the new file, both
     * complete). Coverage is EXACTLY preserved — every id the old ledger
     * answered true for, the new one does too, and nothing new. Single
-    * maintenance writer at a time (same contract as `expireSnapshots`): a
-    * ledger APPEND racing the rewrite could be lost, so run from the one
-    * Maintain job, not beside a live expiry.
+    * Single maintenance writer ENFORCED by the lease: a ledger APPEND racing
+    * the rewrite would be lost, so acquisition failure throws
+    * MaintenanceLockHeld rather than interleaving.
     */
   def compactLineageLedger(): Unit = {
+    if (!Files.isDirectory(manifestDir)) return
+    withMaintenanceLock("compactLineageLedger")(compactLineageLedgerLocked())
+  }
+
+  /** lock-free body — callers MUST hold the maintenance lease */
+  private def compactLineageLedgerLocked(): Unit = {
     val ledger = manifestDir.resolve("lineage.log")
     if (!Files.exists(ledger)) return
     val lines = scala.util.Using(scala.io.Source.fromFile(ledger.toFile))(_.getLines().toVector).get
@@ -248,6 +331,10 @@ final class TableStore(base: String, table: String) {
     */
   def gcStreamWatermarks(maxAgeMs: Long = 7L * 24 * 3600 * 1000L): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
+    withMaintenanceLock("gcStreamWatermarks")(gcStreamWatermarksLocked(maxAgeMs))
+  }
+
+  private def gcStreamWatermarksLocked(maxAgeMs: Long): Int = {
     val liveStreamIds = snapshots.map(_.inputSnapshot).collect {
       case streamLineageId(prefix, _) => prefix.stripPrefix("stream-").stripSuffix("-batch-")
     }
@@ -516,6 +603,18 @@ final class TableStore(base: String, table: String) {
     * survive in the final lineage.
     */
   private def commit(inputSnapshot: String, merge: Option[Snapshot] => Seq[PartitionManifest]): Snapshot = {
+    // Lineage ids are caller-supplied free-form strings, but expiry rolls
+    // them VERBATIM into the line-oriented lineage ledger: an embedded
+    // newline splits into lines that never answer hasCommit (silent double
+    // commit later), and a tab lets a crafted id collide with the
+    // '#range\t' compaction namespace (wedging the table, or silently
+    // broadening coverage). Reject at the commit boundary — the only place
+    // ids enter the system — so the ledger's grammar is closed by
+    // construction.
+    require(
+      !inputSnapshot.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"inputSnapshot must not contain tab/newline characters (ledger line grammar): ${inputSnapshot.replaceAll("[\\t\\n\\r]", "?")}"
+    )
     Files.createDirectories(manifestDir)
     var attempts = 0
     while (attempts < 1000) {
@@ -632,9 +731,16 @@ final class TableStore(base: String, table: String) {
 
   /** Physical cleanup (Iceberg expire_snapshots): keep the last `keepLast`
     * snapshots, delete every data file referenced by no kept snapshot and
-    * the expired manifest JSONs. Returns the number of data files deleted.
+    * the expired manifest JSONs. Runs under the maintenance lease (the
+    * ledger append below must never race another maintainer's ledger
+    * rewrite). Returns the number of data files deleted.
     */
   def expireSnapshots(keepLast: Int = 1): Int = {
+    if (!Files.isDirectory(manifestDir)) return 0
+    withMaintenanceLock("expireSnapshots")(expireSnapshotsLocked(keepLast))
+  }
+
+  private def expireSnapshotsLocked(keepLast: Int): Int = {
     val all = snapshots
     if (all.isEmpty) return 0
     val kept = all.takeRight(math.max(1, keepLast))
@@ -655,16 +761,22 @@ final class TableStore(base: String, table: String) {
     // are not rewritten on every expiry; a compacted ledger stays under the
     // gate until months of new gaps/streams accumulate.
     val ledgerPath = manifestDir.resolve("lineage.log")
-    if (Files.exists(ledgerPath) && Files.size(ledgerPath) > 64 * 1024) compactLineageLedger()
+    if (Files.exists(ledgerPath) && Files.size(ledgerPath) > 64 * 1024) compactLineageLedgerLocked()
     // delete expired manifests
     for (s <- expiring)
       Files.deleteIfExists(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json"))
     // sweep orphaned commit temp files (a kill between tmp write and the
-    // finally leaks them; nothing else reclaims .tmp-*) — age-gated so a
+    // finally leaks them; nothing else reclaims .tmp-*) and stale-lock
+    // graves (a stealer killed between rename and delete) — age-gated so a
     // concurrent in-flight commit's tmp is never touched
     val cutoff = System.currentTimeMillis() - 3600 * 1000L
-    listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq).foreach { p =>
-      if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+    listDir(manifestDir)(
+      _.filter(p => { val n = p.getFileName.toString; n.startsWith(".tmp-") || n.startsWith(".stale-lock-") }).toSeq
+    ).foreach { p =>
+      // a LIVE committer deletes its own tmp between our listing and the
+      // stat — that is the tmp file working as designed, not an orphan
+      try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+      catch { case _: java.nio.file.NoSuchFileException => () }
     }
     // delete unreferenced data files (only snapshot-prefixed files are
     // manifest-tracked; leave any legacy files alone)

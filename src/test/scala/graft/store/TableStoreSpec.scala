@@ -419,6 +419,88 @@ class TableStoreSpec extends SparkTestBase {
     assert(after == Map("a b:c=d" -> 9.0, "plain" -> 2.0))
   }
 
+  test("maintenance lock: a live holder excludes every maintenance op; a stale lock is stolen") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
+    store.write(df("2024-01-01" -> 1), "day", "stream-q-batch-1", append = true)
+    val lock = Paths.get(s"$base/tier_x/_manifests/maintenance.lock")
+    // simulate a concurrent maintainer in another process: a LIVE lease file
+    Files.writeString(lock, "pid=99999 op=expireSnapshots nonce=other")
+    intercept[MaintenanceLockHeld](store.expireSnapshots(keepLast = 1))
+    intercept[MaintenanceLockHeld](store.compactLineageLedger())
+    intercept[MaintenanceLockHeld](store.gcStreamWatermarks())
+    assert(store.snapshots.size == 2, "locked-out expiry must not have touched manifests")
+    assert(Files.readString(lock) == "pid=99999 op=expireSnapshots nonce=other",
+      "a locked-out maintainer must not disturb the holder's lease")
+    // crashed holder: age the lease past the TTL → next maintainer steals it,
+    // runs, and releases (no lease left behind)
+    val stale = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TableStore.DefaultMaintenanceLockTtlMs - 60000L)
+    Files.setLastModifiedTime(lock, stale)
+    assert(store.expireSnapshots(keepLast = 1) >= 0)
+    assert(store.snapshots.size == 1, "stolen-lease expiry must run")
+    assert(!Files.exists(lock), "lease must be released after the op")
+    assert(store.hasCommit("stream-q-batch-0"), "expired lineage rolled into the ledger")
+    // a holder that overran its TTL and was superseded must NOT delete the
+    // superseder's lease on release: simulated by the content check
+    Files.writeString(lock, "pid=1 op=x nonce=superseder")
+    Files.setLastModifiedTime(lock, stale)
+    store.compactLineageLedger() // steals, runs, releases its OWN lease
+    assert(!Files.exists(lock))
+  }
+
+  test("concurrent maintenance + streaming-shaped commits: no ledger append is ever lost") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 1), "day", "seed")
+    val n = 60
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // committer: metadata-only commits with stream-shaped lineage ids (the
+    // ledger folds them into ranges — exactly the lines a lost append would
+    // silently drop)
+    val committer = new Thread(() =>
+      try for (i <- 0 until n) store.dropPartitionsOlderThan(spark, "day", "0000", s"stream-cc-batch-$i")
+      catch { case e: Throwable => failures.add(e) })
+    // two maintainers racing each other AND the committer: without the lease
+    // an expiry append interleaving a compaction rewrite loses lines; with
+    // it, contention surfaces ONLY as MaintenanceLockHeld (skipped cycle)
+    val maintainers = (0 until 2).map(_ =>
+      new Thread(() =>
+        try for (_ <- 0 until 25) {
+          try { store.expireSnapshots(keepLast = 1); store.compactLineageLedger(); () }
+          catch { case _: MaintenanceLockHeld => () }
+        } catch { case e: Throwable => failures.add(e) }))
+    (committer +: maintainers).foreach(_.start())
+    (committer +: maintainers).foreach(_.join())
+    assert(failures.isEmpty, s"concurrent maintenance failed: ${Option(failures.peek()).map(_.toString)}")
+    // roll every remaining manifest's lineage into the ledger, then verify
+    // EVERY committed id still answers true — a single lost append here is
+    // a green light for a streaming double commit on replay
+    try store.expireSnapshots(keepLast = 1)
+    catch { case _: MaintenanceLockHeld => fail("no maintainer is live — lease must be free") }
+    for (i <- 0 until n)
+      assert(store.hasCommit(s"stream-cc-batch-$i"), s"ledger lost the append for batch $i")
+    assert(store.hasCommit("seed") && !store.hasCommit(s"stream-cc-batch-$n"))
+  }
+
+  test("commit rejects lineage ids that would corrupt the ledger line grammar") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    // a tab-bearing id could collide with the '#range\t' namespace once
+    // expired into the ledger (wedging hasCommit forever); a newline splits
+    // into lines that never answer true (silent double commit). Both are
+    // rejected AT COMMIT — the only door into the system.
+    for (bad <- Seq("a\tb", "#range\tstream-x-batch-\t1\t2", "a\nb", "a\rb"))
+      intercept[IllegalArgumentException](store.write(df("2024-01-01" -> 1), "day", bad))
+    assert(store.snapshots.isEmpty, "rejected commits must not land")
+    // '#range' WITHOUT a tab can never collide (the marker includes the tab)
+    store.write(df("2024-01-01" -> 1), "day", "#range-looking-id")
+    store.write(df("2024-01-02" -> 1), "day", "next")
+    store.expireSnapshots(keepLast = 1)
+    assert(store.hasCommit("#range-looking-id"))
+  }
+
   test("compaction aborts when the partition changed under it (validation)") {
     val base = tmp()
     val store = new TableStore(base, "t")
