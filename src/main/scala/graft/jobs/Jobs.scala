@@ -53,7 +53,11 @@ object Rollup {
   * readers and writers are never disturbed, and a compaction racing a
   * rewrite aborts cleanly (TableStore validation).
   *
-  * Usage: Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
+  * Usage (flag form — multi-tier, tunable watermark guard):
+  *   Maintain <storeBase> --tiers raw,1h,1d [--max-files 8] [--keep-snapshots 3]
+  *            [--ttl-cutoff <day>] [--watermark-max-age-days 7]
+  * Legacy positional form still accepted:
+  *   Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
   */
 object Maintain {
   final case class Report(
@@ -64,9 +68,57 @@ object Maintain {
       ttlPartitions: Option[Int] = None
   )
 
+  final case class Args(
+      storeBase: String,
+      tiers: Seq[String],
+      maxFiles: Int = 8,
+      keepSnapshots: Int = 3,
+      ttlCutoff: Option[String] = None,
+      // default matches gcStreamWatermarks: generous enough that any stream
+      // committing at least weekly never loses its O(1) replay fast path.
+      // Operators with slower streams widen it via --watermark-max-age-days.
+      watermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000L
+  )
+
+  private val usage =
+    "Usage: Maintain <storeBase> --tiers t1[,t2,...] [--max-files N] [--keep-snapshots N] " +
+      "[--ttl-cutoff day] [--watermark-max-age-days D] | Maintain <storeBase> <tier> [maxFiles] [keepSnapshots] [ttlCutoff]"
+
+  /** flag form and the legacy positional form (any `--` switch selects flags) */
+  private[jobs] def parseArgs(args: Array[String]): Args = {
+    require(args.length >= 2, usage)
+    val rest = args.drop(1)
+    if (rest.exists(_.startsWith("--"))) {
+      var a = Args(args(0), Seq.empty)
+      var i = 0
+      while (i < rest.length) {
+        require(i + 1 < rest.length, s"missing value for ${rest(i)}\n$usage")
+        rest(i) match {
+          case "--tiers"                  => a = a.copy(tiers = rest(i + 1).split(',').toSeq.filter(_.nonEmpty))
+          case "--max-files"              => a = a.copy(maxFiles = rest(i + 1).toInt)
+          case "--keep-snapshots"         => a = a.copy(keepSnapshots = rest(i + 1).toInt)
+          case "--ttl-cutoff"             => a = a.copy(ttlCutoff = Some(rest(i + 1)))
+          case "--watermark-max-age-days" => a = a.copy(watermarkMaxAgeMs = (rest(i + 1).toDouble * 24 * 3600 * 1000).toLong)
+          case other                      => throw new IllegalArgumentException(s"unknown Maintain arg $other\n$usage")
+        }
+        i += 2
+      }
+      require(a.tiers.nonEmpty, s"--tiers is required in flag form\n$usage")
+      a
+    } else
+      Args(
+        args(0),
+        tiers = Seq(rest(0)),
+        maxFiles = if (rest.length > 1) rest(1).toInt else 8,
+        keepSnapshots = if (rest.length > 2) rest(2).toInt else 3,
+        ttlCutoff = if (rest.length > 3) Some(rest(3)) else None
+      )
+  }
+
   /** one maintenance cycle over a tier store (separated from `main` so specs
-    * and embedding services can drive the full job against their own session;
-    * all reporting rides the returned Report — `main` does the printing)
+    * and embedding services can drive the full job against their own session).
+    * `report` emits step JSON lines AS THEY COMPLETE (a killed run's output
+    * shows exactly which steps landed); the summary rides the returned Report.
     */
   def run(
       spark: SparkSession,
@@ -74,10 +126,16 @@ object Maintain {
       tier: String,
       maxFiles: Int = 8,
       keepSnapshots: Int = 3,
-      ttlCutoff: Option[String] = None
+      ttlCutoff: Option[String] = None,
+      watermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000L,
+      report: String => Unit = _ => ()
   ): Report = {
     val store = new TableStore(storeBase, s"tier_$tier")
-    val ttlSnap = ttlCutoff.map(cutoff => store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff"))
+    val ttlSnap = ttlCutoff.map { cutoff =>
+      val s = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
+      report(s"""{"step":"ttl","tier":"$tier","cutoff":"$cutoff","snapshot":${s.snapshotId},"partitions":${s.partitions.size}}""")
+      s
+    }
     val fragmented = store.currentSnapshot.toSeq
       .flatMap(_.partitions)
       .filter(_.files.size > maxFiles)
@@ -94,25 +152,37 @@ object Maintain {
     }
     // expireSnapshots already compacts the lineage ledger past its size gate
     // (a second unconditional pass would rewrite the whole file again for
-    // nothing — sub-gate ledgers are bounded by the gate itself). Watermark
-    // GC is a single-maintenance-writer operation — this job is that writer.
+    // nothing — sub-gate ledgers are bounded by the gate itself). Both ops
+    // take the table's maintenance lease internally — a concurrent Maintain
+    // surfaces as MaintenanceLockHeld, never as interleaved metadata writes.
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
-    val wmDeleted = store.gcStreamWatermarks()
+    val wmDeleted = store.gcStreamWatermarks(watermarkMaxAgeMs)
     Report(compacted, reclaimed, wmDeleted, ttlSnap.map(_.snapshotId), ttlSnap.map(_.partitions.size))
   }
 
+  /** drive one cycle over EVERY requested tier. A tier whose maintenance
+    * lease is held (another Maintain is live — cron + manual overlap) is
+    * SKIPPED loudly, not interleaved and not fatal to the remaining tiers:
+    * the holder is doing the same job.
+    */
+  def runAll(spark: SparkSession, a: Args, report: String => Unit = println): Unit =
+    for (tier <- a.tiers)
+      try {
+        val r = run(spark, a.storeBase, tier, a.maxFiles, a.keepSnapshots, a.ttlCutoff, a.watermarkMaxAgeMs, report)
+        report(
+          s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}"""
+        )
+      } catch {
+        case e: graft.store.MaintenanceLockHeld =>
+          report(s"""{"step":"locked","tier":"$tier"}""")
+          System.err.println(s"[maintain] $tier skipped — lease held by another maintenance writer: ${e.getMessage}")
+      }
+
   def main(args: Array[String]): Unit = {
-    val storeBase = args(0)
-    val tier = args(1)
-    val maxFiles = if (args.length > 2) args(2).toInt else 8
-    val keepSnapshots = if (args.length > 3) args(3).toInt else 3
-    val ttlCutoff = if (args.length > 4) Some(args(4)) else None
+    val parsed = parseArgs(args)
     val spark = Jobs.session("graft-maintain")
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, storeBase, tier, maxFiles, keepSnapshots, ttlCutoff)
-    for ((cutoff, sid) <- ttlCutoff.zip(r.ttlSnapshot))
-      println(s"""{"step":"ttl","cutoff":"$cutoff","snapshot":$sid,"partitions":${r.ttlPartitions.getOrElse(0)}}""")
-    println(s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}""")
+    runAll(spark, parsed)
     spark.stop()
   }
 }

@@ -63,4 +63,73 @@ class MaintainSpec extends SparkTestBase {
     val again = Maintain.run(spark, base, "raw", maxFiles = 4, keepSnapshots = 1, ttlCutoff = Some("2024-01-01"))
     assert(again.compacted == 0 && again.watermarksGCed == 0, s"second cycle must be a no-op: $again")
   }
+
+  test("parseArgs: flag form, legacy positional form, bad flags rejected") {
+    val f = Maintain.parseArgs(Array("/s", "--tiers", "raw,1h,1d", "--max-files", "4",
+      "--keep-snapshots", "2", "--ttl-cutoff", "2024-01-01", "--watermark-max-age-days", "14"))
+    assert(f == Maintain.Args("/s", Seq("raw", "1h", "1d"), 4, 2, Some("2024-01-01"), 14L * 24 * 3600 * 1000))
+    // fractional days work (operators tuning the guard below a day)
+    assert(Maintain.parseArgs(Array("/s", "--tiers", "raw", "--watermark-max-age-days", "0.5")).watermarkMaxAgeMs
+      == 12L * 3600 * 1000)
+    val legacy = Maintain.parseArgs(Array("/s", "raw", "4", "1", "2024-01-01"))
+    assert(legacy == Maintain.Args("/s", Seq("raw"), 4, 1, Some("2024-01-01")))
+    assert(Maintain.parseArgs(Array("/s", "1h")) == Maintain.Args("/s", Seq("1h")))
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers", "raw", "--bogus", "1")))
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers")))
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--max-files", "4")))
+  }
+
+  test("runAll: one invocation maintains every tier; a leased tier is skipped loudly, not interleaved") {
+    val base = Files.createTempDirectory("graft_maint_mt").toString
+    for (tier <- Seq("raw", "1h", "1d")) {
+      val store = new TableStore(base, s"tier_$tier")
+      for (i <- 0 until 6)
+        store.write(df("2024-03-01" -> 1), "day", s"stream-$tier-batch-$i", append = true)
+    }
+    // hold 1h's lease, as a concurrent Maintain in another process would
+    val lock = Paths.get(s"$base/tier_1h/_manifests/maintenance.lock")
+    Files.writeString(lock, "pid=9 op=expireSnapshots nonce=other")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    Maintain.runAll(spark,
+      Maintain.Args(base, Seq("raw", "1h", "1d"), maxFiles = 2, keepSnapshots = 1), lines += _)
+    assert(lines.count(_.contains("\"step\":\"done\"")) == 2, s"raw+1d must complete: $lines")
+    assert(lines.exists(l => l.contains("\"step\":\"locked\"") && l.contains("\"1h\"")),
+      s"leased tier must surface as locked: $lines")
+    for (tier <- Seq("raw", "1d")) {
+      val store = new TableStore(base, s"tier_$tier")
+      assert(store.snapshots.size == 1, s"$tier not expired")
+      for (i <- 0 until 6) assert(store.hasCommit(s"stream-$tier-batch-$i"), s"$tier lost batch $i lineage")
+    }
+    // the leased tier's compaction MAY land (it is snapshot-CAS + validation
+    // protected, not lease-protected), but the lease-guarded steps must not:
+    // nothing expired, every lineage id still live in manifests
+    val leased = new TableStore(base, "tier_1h")
+    assert(leased.snapshots.size >= 6, "leased tier must not be expired")
+    for (i <- 0 until 6) assert(leased.hasCommit(s"stream-1h-batch-$i"), s"1h lost batch $i lineage")
+    Files.delete(lock)
+    // next cycle picks the skipped tier up
+    val out2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    Maintain.runAll(spark, Maintain.Args(base, Seq("1h"), maxFiles = 2, keepSnapshots = 1), out2 += _)
+    assert(out2.exists(_.contains("\"step\":\"done\"")) && new TableStore(base, "tier_1h").snapshots.size == 1)
+  }
+
+  test("watermark max-age is settable: a 2-day-old dead watermark survives 7d, dies at 1d") {
+    val base = Files.createTempDirectory("graft_maint_wm").toString
+    val store = new TableStore(base, "tier_raw")
+    store.write(df("2024-03-01" -> 1), "day", "in-v1")
+    store.setStreamWatermark("slow-stream", 3L)
+    val mdir = Paths.get(s"$base/tier_raw/_manifests")
+    val aged = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 24 * 3600 * 1000)
+    val wms = Files.list(mdir)
+    try wms.iterator().asScala.filter(_.getFileName.toString.startsWith("watermark-")).foreach(Files.setLastModifiedTime(_, aged))
+    finally wms.close()
+    // default guard (7d): an infrequent stream's watermark must survive
+    val r7 = Maintain.run(spark, base, "raw")
+    assert(r7.watermarksGCed == 0 && store.streamWatermark("slow-stream").contains(3L),
+      s"2-day-old watermark must survive the default 7d guard: $r7")
+    // tightened guard (1d) collects it
+    val r1 = Maintain.run(spark, base, "raw", watermarkMaxAgeMs = 24L * 3600 * 1000)
+    assert(r1.watermarksGCed == 1 && store.streamWatermark("slow-stream").isEmpty,
+      s"1d guard must collect the 2-day-old watermark: $r1")
+  }
 }
