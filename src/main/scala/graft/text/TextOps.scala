@@ -235,22 +235,44 @@ object TextOps {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("_nl"))
+      // materialized ONCE per round (cached; the frontier count below runs a
+      // FULL scan, so every partition lands in the cache in the same job):
+      // uncached, the jump's self-join re-executed the propagation join on
+      // BOTH sides every round — at scale that join over all edges is the
+      // dominant shuffle, so this halves the per-round heavy work
       val propagated = labels
         .join(prop, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("_prev"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-      // pointer jump: label := label(label) — every label value is itself an
-      // id in the table, so chains collapse exponentially (path halving)
-      val next = propagated
-        .join(
-          propagated.select(col("id").as("label"), col("label").as("_ll")),
-          Seq("label"),
-          "left_outer"
-        )
-        .select(col("id"), col("_prev"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.where(col("label") =!= col("_prev")).isEmpty
-      release(labels) // next is materialized (eager checkpoint) — the previous generation is superseded
-      labels = next.select("id", "label")
+        .persist()
+      // EARLY EXIT on an empty frontier after propagation alone: at the
+      // propagation fixpoint every (symmetrized) edge joins equal labels, so
+      // labels are already the component minima and the jump is the identity
+      // — the confirmation round skips the jump join entirely. Tiny
+      // components (the common crawl-dedup shape) converge in round 1 and
+      // confirm with a single join in round 2.
+      converged = propagated.where(col("label") =!= col("_prev")).count() == 0
+      if (converged) {
+        // the final labels ride the cached frame; cut its (bounded, two
+        // joins deep) lineage so the superseded inputs can be released
+        val fin = propagated.select("id", "label").localCheckpoint()
+        propagated.unpersist(blocking = false)
+        release(labels)
+        labels = fin
+      } else {
+        // pointer jump: label := label(label) — every label value is itself
+        // an id in the table, so chains collapse exponentially (path halving)
+        val next = propagated
+          .join(
+            propagated.select(col("id").as("label"), col("label").as("_ll")),
+            Seq("label"),
+            "left_outer"
+          )
+          .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+          .localCheckpoint()
+        propagated.unpersist(blocking = false) // next is materialized — this round's intermediate is superseded
+        release(labels)
+        labels = next
+      }
       i += 1
     }
     release(edges) // the output below reads only the final labels checkpoint
