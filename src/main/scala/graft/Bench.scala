@@ -38,11 +38,38 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(""","query_errors":{""", ",", "}")
     val tiers = tierRows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec}"""
-    )
+    println(json)
+    writeBenchJson(json)
     spark.stop()
   }
+
+  /** The same line, to a FILE: sbt wraps stdout in [info] noise, so the file
+    * is the machine-readable channel (harness runs record "parsed": null
+    * from stdout alone). Written atomically (tmp + move) so a reader racing
+    * the bench never sees a partial line; any IO failure here must not turn
+    * a measured run into a failed one — the stdout line already carries the
+    * result, so this logs and returns None instead of throwing.
+    */
+  def writeBenchJson(
+      json: String,
+      path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+  ): Option[java.nio.file.Path] =
+    try {
+      val target = java.nio.file.Paths.get(path).toAbsolutePath
+      val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+      java.nio.file.Files.writeString(tmp, json + "\n")
+      java.nio.file.Files.move(
+        tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE
+      )
+      Some(target)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $path: $e")
+        None
+    }
 
   /** Time each query's full action. A query that throws must surface as a
     * FAILURE (-1 elapsed + an entry in the error map), not as a plausible

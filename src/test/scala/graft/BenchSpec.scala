@@ -22,4 +22,22 @@ class BenchSpec extends SparkTestBase {
     // deterministic ordering (sorted by name) so bench JSON diffs cleanly
     assert(results.map(_._1) == results.map(_._1).sorted)
   }
+
+  test("writeBenchJson: file content equals the stdout line; IO failure is non-fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_out")
+    val line = """{"metric":"rollup_points_per_sec","value":42}"""
+    val p = Bench.writeBenchJson(line, s"$dir/BENCH_LAST.json")
+    assert(p.isDefined && java.nio.file.Files.readString(p.get) == line + "\n")
+    // overwrite on the next run, no tmp residue
+    val p2 = Bench.writeBenchJson(line.replace("42", "43"), s"$dir/BENCH_LAST.json")
+    assert(java.nio.file.Files.readString(p2.get).contains("43"))
+    val names = {
+      val s = java.nio.file.Files.list(dir)
+      try { val it = s.iterator(); val b = Seq.newBuilder[String]; while (it.hasNext) b += it.next().getFileName.toString; b.result() }
+      finally s.close()
+    }
+    assert(names == Seq("BENCH_LAST.json"), s"tmp residue: $names")
+    // an unwritable path must not fail the bench (stdout already has the line)
+    assert(Bench.writeBenchJson(line, "/nonexistent-root-dir/x/y.json").isEmpty)
+  }
 }
