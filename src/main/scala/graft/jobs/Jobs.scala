@@ -150,20 +150,29 @@ object Maintain {
       try { store.compactPartition(spark, "day", p); compacted += 1 }
       catch { case e: graft.store.ConcurrentTableModification => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
+    report(s"""{"step":"compact","tier":"$tier","compacted":$compacted}""")
     // expireSnapshots already compacts the lineage ledger past its size gate
     // (a second unconditional pass would rewrite the whole file again for
     // nothing — sub-gate ledgers are bounded by the gate itself). Both ops
     // take the table's maintenance lease internally — a concurrent Maintain
-    // surfaces as MaintenanceLockHeld, never as interleaved metadata writes.
+    // surfaces as MaintenanceLockHeld, never as interleaved metadata writes;
+    // the per-step lines above/below make a mid-cycle lock legible (the
+    // steps that DID land are already reported).
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
+    report(s"""{"step":"expire","tier":"$tier","filesReclaimed":$reclaimed}""")
     val wmDeleted = store.gcStreamWatermarks(watermarkMaxAgeMs)
+    report(s"""{"step":"watermark_gc","tier":"$tier","watermarksGCed":$wmDeleted}""")
     Report(compacted, reclaimed, wmDeleted, ttlSnap.map(_.snapshotId), ttlSnap.map(_.partitions.size))
   }
 
   /** drive one cycle over EVERY requested tier. A tier whose maintenance
-    * lease is held (another Maintain is live — cron + manual overlap) is
-    * SKIPPED loudly, not interleaved and not fatal to the remaining tiers:
-    * the holder is doing the same job.
+    * lease is held (another Maintain is live — cron + manual overlap) stops
+    * at the locked step LOUDLY, not interleaved and not fatal to the
+    * remaining tiers: the holder is doing the same job. Steps that already
+    * completed on that tier keep their step lines (the lease is per
+    * operation, so a concurrent run can alternate WHOLE operations with
+    * this one — each op is individually atomic, and the "locked" line tells
+    * the operator which cycle to re-run).
     */
   def runAll(spark: SparkSession, a: Args, report: String => Unit = println): Unit =
     for (tier <- a.tiers)
@@ -175,7 +184,7 @@ object Maintain {
       } catch {
         case e: graft.store.MaintenanceLockHeld =>
           report(s"""{"step":"locked","tier":"$tier"}""")
-          System.err.println(s"[maintain] $tier skipped — lease held by another maintenance writer: ${e.getMessage}")
+          System.err.println(s"[maintain] $tier cycle stopped — lease held by another maintenance writer: ${e.getMessage}")
       }
 
   def main(args: Array[String]): Unit = {

@@ -160,10 +160,23 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
     *  - live holder (lock mtime younger than the TTL) → MaintenanceLockHeld,
     *    loudly — a second Maintain must skip or fail, never interleave;
     *  - stale lock (crashed holder) → stolen via atomic rename: exactly one
-    *    stealer wins the move, losers loop back to re-acquire;
+    *    stealer wins the move; the winner VERIFIES the moved file is the
+    *    same stale body it observed (a stealer delayed between stat and
+    *    move could otherwise displace a FASTER stealer's fresh lease) and
+    *    restores it when it is not;
     *  - release deletes the lock only if it still holds OUR body, so a
     *    holder that overran the TTL and was superseded cannot delete the
     *    superseder's lease.
+    *
+    * CAVEAT (inherent to TTL leases without fencing tokens — same as any
+    * lock-file scheme on a bare filesystem): a holder PAUSED longer than
+    * the TTL mid-operation can be superseded and briefly overlap the new
+    * holder, and staleness compares this process's clock against the lock
+    * file's mtime, so cross-host clock skew eats into the TTL. The TTL
+    * (default 30 min, constructor-tunable) is therefore sized orders of
+    * magnitude above the seconds these metadata ops take AND above sane
+    * NTP skew; the content checks below shrink every remaining window to
+    * the microseconds between one read and one rename.
     */
   private def withMaintenanceLock[A](op: String)(f: => A): A = {
     Files.createDirectories(manifestDir)
@@ -188,18 +201,37 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
             )
           }
           if (ageMs >= maintenanceLockTtlMs) {
-            // crashed holder: steal by ATOMIC rename — the one stealer whose
-            // move succeeds proceeds to re-acquire; others see NoSuchFile
+            // crashed holder: steal by ATOMIC rename — one stealer wins the
+            // move, losers see NoSuchFile and loop back to re-acquire. The
+            // winner re-reads what it actually moved: if the content is not
+            // the stale body it stat'd (this stealer was delayed past a
+            // faster stealer's steal + re-acquire, and displaced a FRESH
+            // lease), it puts the file straight back and reports the lock
+            // held — it must never proceed, and a restore collision (the
+            // path was re-claimed inside this microsecond window) still
+            // resolves to "held by someone else".
+            val staleBody = try Files.readString(maintenanceLockPath) catch { case _: java.io.IOException => "" }
             val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
             try {
               Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(grave)
+              val moved = try Files.readString(grave) catch { case _: java.io.IOException => staleBody }
+              if (moved == staleBody) Files.deleteIfExists(grave)
+              else {
+                try Files.move(grave, maintenanceLockPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(grave) }
+                throw new MaintenanceLockHeld(
+                  s"maintenance lock on $table: displaced a fresh lease while stealing a stale one (restored) — another maintenance writer is active"
+                )
+              }
             } catch { case _: java.nio.file.NoSuchFileException => () }
           }
       }
     }
     try f
     finally {
+      // content-checked delete: never remove a superseder's lease. The
+      // read→delete gap is microseconds and only reachable after a TTL
+      // overrun (see caveat above).
       try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
       catch { case _: java.io.IOException => () } // superseded after TTL overrun, or already gone
     }

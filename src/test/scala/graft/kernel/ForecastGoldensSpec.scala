@@ -24,8 +24,11 @@ class ForecastGoldensSpec extends AnyFunSuite {
   // time-based models require it); epoch-scale ts exactly as the analyzers
   // pass it for MA/SES/MLR
   private val times: Array[Double] = Array.tabulate(40)(i => 1.7e9 + 60.0 * i)
+  // StrictMath, not math: Math.sin is only 1-ulp-accurate and may differ
+  // across JVMs/architectures — the frozen literals below must reproduce
+  // bit-exactly everywhere, so the INPUTS must too
   private val values: Array[Double] = Array.tabulate(40) { i =>
-    50.0 + 0.3 * i + 7.0 * math.sin(i * 0.7) + (if (i == 25) 40.0 else 0.0)
+    50.0 + 0.3 * i + 7.0 * StrictMath.sin(i * 0.7) + (if (i == 25) 40.0 else 0.0)
   }
   // small-magnitude ts for the polynomial model: with epoch ts the order-10
   // system computes ts^18 ≈ 1e166 and overflows to non-finite (the gate
