@@ -191,39 +191,64 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
         case _: FileAlreadyExistsException =>
           attempts += 1
           if (attempts > 5) throw new MaintenanceLockHeld(s"maintenance lock on $table: gave up after $attempts acquisition attempts")
+          // body BEFORE mtime: lease files are written once and never
+          // touched in place, so CONTENT identifies the lease INSTANCE.
+          // Reading the body first means any instance that replaces this
+          // one later fails the steal identity check below — stat-first
+          // ordering could judge a NEW instance's body against an OLD
+          // instance's age and steal a fresh lease.
+          val observedBody =
+            try Some(Files.readString(maintenanceLockPath))
+            catch {
+              case _: java.nio.file.NoSuchFileException => None // released between probe and read — retry
+              case _: java.io.IOException =>
+                throw new MaintenanceLockHeld(s"maintenance lock on $table unreadable — treating as held")
+            }
           val ageMs =
-            try System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis
-            catch { case _: java.nio.file.NoSuchFileException => -1L } // released between probe and stat — retry
-          if (ageMs >= 0 && ageMs < maintenanceLockTtlMs) {
-            val holder = try Files.readString(maintenanceLockPath) catch { case _: java.io.IOException => "<unreadable>" }
+            if (observedBody.isEmpty) -1L
+            else
+              try System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis
+              catch { case _: java.nio.file.NoSuchFileException => -1L } // released between read and stat — retry
+          if (ageMs >= 0 && ageMs < maintenanceLockTtlMs)
             throw new MaintenanceLockHeld(
-              s"maintenance lock on $table held by [$holder] for ${ageMs}ms (ttl ${maintenanceLockTtlMs}ms) — another maintenance writer is active"
+              s"maintenance lock on $table held by [${observedBody.get}] for ${ageMs}ms (ttl ${maintenanceLockTtlMs}ms) — another maintenance writer is active"
             )
-          }
           if (ageMs >= maintenanceLockTtlMs) {
             // crashed holder: steal by ATOMIC rename — one stealer wins the
             // move, losers see NoSuchFile and loop back to re-acquire. The
-            // winner re-reads what it actually moved: if the content is not
-            // the stale body it stat'd (this stealer was delayed past a
-            // faster stealer's steal + re-acquire, and displaced a FRESH
-            // lease), it puts the file straight back and reports the lock
-            // held — it must never proceed, and a restore collision (the
-            // path was re-claimed inside this microsecond window) still
-            // resolves to "held by someone else".
-            val staleBody = try Files.readString(maintenanceLockPath) catch { case _: java.io.IOException => "" }
+            // winner verifies the moved file still carries the body it
+            // judged stale; on mismatch (a faster stealer's steal +
+            // re-acquire landed in between, so this displaced a FRESH
+            // lease) — or on a failed verification read (fail SAFE, never
+            // fail open) — the file is put back with createLink, the same
+            // atomic-EEXIST CAS the commit path uses, so a newer claimant
+            // is never clobbered by a replacing rename. If the path was
+            // re-claimed inside that window, the grave is LEFT IN PLACE
+            // (the displaced copy must not be destroyed here; aged graves
+            // are swept by expireSnapshots) and the lock reports held.
             val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
             try {
               Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              val moved = try Files.readString(grave) catch { case _: java.io.IOException => staleBody }
-              if (moved == staleBody) Files.deleteIfExists(grave)
+              val moved = try Some(Files.readString(grave)) catch { case _: java.io.IOException => None }
+              if (moved == observedBody) Files.deleteIfExists(grave) // confirmed: the crashed holder's lease
               else {
-                try Files.move(grave, maintenanceLockPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(grave) }
+                try {
+                  Files.createLink(maintenanceLockPath, grave)
+                  Files.deleteIfExists(grave)
+                } catch {
+                  case _: FileAlreadyExistsException => () // re-claimed meanwhile — leave the grave
+                  case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+                    // linkless filesystem: non-replacing move (fails if the
+                    // path was re-claimed; its probe+rename gap is the
+                    // linkless fallback's documented window)
+                    try Files.move(grave, maintenanceLockPath)
+                    catch { case _: java.nio.file.FileSystemException => () } // leave the grave
+                }
                 throw new MaintenanceLockHeld(
-                  s"maintenance lock on $table: displaced a fresh lease while stealing a stale one (restored) — another maintenance writer is active"
+                  s"maintenance lock on $table: the lease changed under the steal (restored) — another maintenance writer is active"
                 )
               }
-            } catch { case _: java.nio.file.NoSuchFileException => () }
+            } catch { case _: java.nio.file.NoSuchFileException => () } // lost the steal race — loop
           }
       }
     }
