@@ -213,43 +213,7 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
             throw new MaintenanceLockHeld(
               s"maintenance lock on $table held by [${observedBody.get}] for ${ageMs}ms (ttl ${maintenanceLockTtlMs}ms) — another maintenance writer is active"
             )
-          if (ageMs >= maintenanceLockTtlMs) {
-            // crashed holder: steal by ATOMIC rename — one stealer wins the
-            // move, losers see NoSuchFile and loop back to re-acquire. The
-            // winner verifies the moved file still carries the body it
-            // judged stale; on mismatch (a faster stealer's steal +
-            // re-acquire landed in between, so this displaced a FRESH
-            // lease) — or on a failed verification read (fail SAFE, never
-            // fail open) — the file is put back with createLink, the same
-            // atomic-EEXIST CAS the commit path uses, so a newer claimant
-            // is never clobbered by a replacing rename. If the path was
-            // re-claimed inside that window, the grave is LEFT IN PLACE
-            // (the displaced copy must not be destroyed here; aged graves
-            // are swept by expireSnapshots) and the lock reports held.
-            val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
-            try {
-              Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              val moved = try Some(Files.readString(grave)) catch { case _: java.io.IOException => None }
-              if (moved == observedBody) Files.deleteIfExists(grave) // confirmed: the crashed holder's lease
-              else {
-                try {
-                  Files.createLink(maintenanceLockPath, grave)
-                  Files.deleteIfExists(grave)
-                } catch {
-                  case _: FileAlreadyExistsException => () // re-claimed meanwhile — leave the grave
-                  case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-                    // linkless filesystem: non-replacing move (fails if the
-                    // path was re-claimed; its probe+rename gap is the
-                    // linkless fallback's documented window)
-                    try Files.move(grave, maintenanceLockPath)
-                    catch { case _: java.nio.file.FileSystemException => () } // leave the grave
-                }
-                throw new MaintenanceLockHeld(
-                  s"maintenance lock on $table: the lease changed under the steal (restored) — another maintenance writer is active"
-                )
-              }
-            } catch { case _: java.nio.file.NoSuchFileException => () } // lost the steal race — loop
-          }
+          if (ageMs >= maintenanceLockTtlMs) stealStaleLock(observedBody.get)
       }
     }
     try f
@@ -261,6 +225,46 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
       catch { case _: java.io.IOException => () } // superseded after TTL overrun, or already gone
     }
   }
+
+  /** Steal a stale lock whose content was observed as `observedBody`:
+    * ATOMIC rename to a unique grave — one stealer wins the move, losers see
+    * NoSuchFile and simply return (the caller's loop re-acquires). The
+    * winner verifies the moved file still carries the body it judged stale;
+    * on mismatch (a faster stealer's steal + re-acquire landed in between,
+    * so this displaced a FRESH lease) — or on a failed verification read
+    * (fail SAFE, never fail open) — the file is put back with createLink,
+    * the same atomic-EEXIST CAS the commit path uses, so a newer claimant is
+    * never clobbered by a replacing rename. If the path was re-claimed
+    * inside that window, the grave is LEFT IN PLACE (the displaced copy must
+    * not be destroyed here; aged graves are swept by expireSnapshots) and
+    * the lock reports held. `private[graft]` so the mismatch/restore
+    * semantics are deterministically spec-testable — the production caller
+    * is the acquisition loop above.
+    */
+  private[graft] def stealStaleLock(observedBody: String): Unit =
+    try {
+      val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
+      Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val moved = try Some(Files.readString(grave)) catch { case _: java.io.IOException => None }
+      if (moved.contains(observedBody)) Files.deleteIfExists(grave) // confirmed: the crashed holder's lease
+      else {
+        try {
+          Files.createLink(maintenanceLockPath, grave)
+          Files.deleteIfExists(grave)
+        } catch {
+          case _: FileAlreadyExistsException => () // re-claimed meanwhile — leave the grave
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // linkless filesystem: non-replacing move (fails if the path was
+            // re-claimed; its probe+rename gap is the linkless fallback's
+            // documented window)
+            try Files.move(grave, maintenanceLockPath)
+            catch { case _: java.nio.file.FileSystemException => () } // leave the grave
+        }
+        throw new MaintenanceLockHeld(
+          s"maintenance lock on $table: the lease changed under the steal (restored) — another maintenance writer is active"
+        )
+      }
+    } catch { case _: java.nio.file.NoSuchFileException => () } // lost the steal race — caller loops
 
   // ---- lineage ledger compaction ---------------------------------------------
   // The ledger grows one line per expired snapshot FOREVER (months of

@@ -450,6 +450,37 @@ class TableStoreSpec extends SparkTestBase {
     assert(!Files.exists(lock))
   }
 
+  test("stale-lock steal: confirmed body is removed; a changed lease is RESTORED, never destroyed") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 1), "day", "seed")
+    val lock = Paths.get(s"$base/tier_x/_manifests/maintenance.lock")
+    val mdir = lock.getParent
+    def graves() = {
+      val s = Files.list(mdir)
+      try { val it = s.iterator(); val b = Seq.newBuilder[String]; while (it.hasNext) { val n = it.next().getFileName.toString; if (n.startsWith(".stale-lock-")) b += n }; b.result() }
+      finally s.close()
+    }
+    // CONFIRMED steal: the moved file carries exactly the observed body →
+    // removed, path free, no grave residue
+    Files.writeString(lock, "pid=1 op=x nonce=crashed")
+    store.stealStaleLock("pid=1 op=x nonce=crashed")
+    assert(!Files.exists(lock) && graves().isEmpty)
+    // MISMATCH (the delayed-stealer race, staged deterministically): the
+    // lock now holds a FRESH lease whose body differs from what this
+    // stealer observed before being delayed — the steal must RESTORE the
+    // fresh lease bit-for-bit, leave no grave, and report the lock held
+    Files.writeString(lock, "pid=2 op=y nonce=fresh-holder")
+    intercept[MaintenanceLockHeld](store.stealStaleLock("pid=1 op=x nonce=crashed"))
+    assert(Files.readString(lock) == "pid=2 op=y nonce=fresh-holder",
+      "displaced fresh lease must be restored bit-for-bit")
+    assert(graves().isEmpty, "restore must not leave a grave")
+    // lost race (no lock at all): a no-op, caller loops
+    Files.delete(lock)
+    store.stealStaleLock("whatever")
+    assert(!Files.exists(lock))
+  }
+
   test("concurrent maintenance + streaming-shaped commits: no ledger append is ever lost") {
     val base = tmp()
     val store = new TableStore(base, "tier_x")
