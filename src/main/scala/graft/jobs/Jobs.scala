@@ -74,10 +74,9 @@ object Maintain {
       maxFiles: Int = 8,
       keepSnapshots: Int = 3,
       ttlCutoff: Option[String] = None,
-      // default matches gcStreamWatermarks: generous enough that any stream
-      // committing at least weekly never loses its O(1) replay fast path.
-      // Operators with slower streams widen it via --watermark-max-age-days.
-      watermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000L
+      // single-sourced from the store (see TableStore.DefaultWatermarkMaxAgeMs);
+      // operators with slow streams widen it via --watermark-max-age-days
+      watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs
   )
 
   private val usage =
@@ -87,6 +86,10 @@ object Maintain {
   /** flag form and the legacy positional form (any `--` switch selects flags) */
   private[jobs] def parseArgs(args: Array[String]): Args = {
     require(args.length >= 2, usage)
+    // a forgotten storeBase would otherwise make "--tiers" the base path and
+    // the run a silent no-op against a nonexistent store — cron would report
+    // healthy "done" lines while the real store never gets maintained
+    require(!args(0).startsWith("--"), s"first argument must be <storeBase>, got ${args(0)}\n$usage")
     val rest = args.drop(1)
     if (rest.exists(_.startsWith("--"))) {
       var a = Args(args(0), Seq.empty)
@@ -127,7 +130,7 @@ object Maintain {
       maxFiles: Int = 8,
       keepSnapshots: Int = 3,
       ttlCutoff: Option[String] = None,
-      watermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000L,
+      watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs,
       report: String => Unit = _ => ()
   ): Report = {
     val store = new TableStore(storeBase, s"tier_$tier")

@@ -72,6 +72,14 @@ object TableStore {
     * lock), so a lock this old can only belong to a crashed holder.
     */
   val DefaultMaintenanceLockTtlMs: Long = 30L * 60 * 1000
+
+  /** default stream-watermark GC age guard — the SINGLE source of the 7-day
+    * default, referenced by `gcStreamWatermarks` and `jobs.Maintain` so the
+    * CLI and the store can never drift apart. Generous enough that any
+    * stream committing at least weekly never loses its O(1) replay fast
+    * path; operators with slower streams widen it per run.
+    */
+  val DefaultWatermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000
 }
 
 final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs) {
@@ -243,6 +251,21 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
     */
   private[graft] def stealStaleLock(observedBody: String): Unit =
     try {
+      // LAST-INSTANT re-verify, immediately before the rename: the caller's
+      // observe→steal delay is unbounded (GC pause, FS stall), and a faster
+      // stealer may have stolen + re-acquired in that gap — the instance
+      // must STILL carry the observed body and STILL be stale, else the
+      // lock reports held without ever being displaced. The move-then-
+      // verify restore below remains as defense-in-depth for a replacement
+      // landing inside the re-check→rename microseconds.
+      if (Files.readString(maintenanceLockPath) != observedBody)
+        throw new MaintenanceLockHeld(
+          s"maintenance lock on $table: the lease changed before the steal — another maintenance writer is active"
+        )
+      if (System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis < maintenanceLockTtlMs)
+        throw new MaintenanceLockHeld(
+          s"maintenance lock on $table: the lease is no longer stale — another maintenance writer is active"
+        )
       val grave = manifestDir.resolve(s".stale-lock-${java.util.UUID.randomUUID()}")
       Files.move(maintenanceLockPath, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       val moved = try Some(Files.readString(grave)) catch { case _: java.io.IOException => None }
@@ -390,7 +413,7 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
     * that any stream committing at least weekly never loses its fast path.
     * Returns files deleted.
     */
-  def gcStreamWatermarks(maxAgeMs: Long = 7L * 24 * 3600 * 1000L): Int = {
+  def gcStreamWatermarks(maxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
     withMaintenanceLock("gcStreamWatermarks")(gcStreamWatermarksLocked(maxAgeMs))
   }
@@ -840,7 +863,22 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
       catch { case _: java.nio.file.NoSuchFileException => () }
     }
     // delete unreferenced data files (only snapshot-prefixed files are
-    // manifest-tracked; leave any legacy files alone)
+    // manifest-tracked; leave any legacy files alone). Two provenance
+    // classes, treated differently:
+    //  - files the EXPIRING manifests referenced: committed and now
+    //    expired — known dead, reclaimed immediately;
+    //  - files NO manifest (kept or expiring) references: a LIVE writer
+    //    moves its staged files into dataDir BEFORE its manifest CAS
+    //    (moveStaged → hashFiles → commit is a seconds-to-minutes window),
+    //    so a freshly-moved unreferenced file is most likely an IN-FLIGHT
+    //    commit, not garbage — deleting it would let that commit land
+    //    referencing dead files (silent data loss). These are AGE-GATED,
+    //    the same reason Iceberg's remove_orphan_files has olderThan:
+    //    young ones wait for the next cycle, true orphans (crashed
+    //    writers) age past the gate and are reclaimed then. A writer
+    //    PAUSED mid-commit longer than the gate is the same inherent
+    //    class as the lease-TTL caveat.
+    val expiredFiles = expiring.flatMap(s => s.partitions.flatMap(_.files)).toSet
     val dd = Paths.get(dataDir)
     if (!Files.isDirectory(dd)) return 0
     var deleted = 0
@@ -849,8 +887,15 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
         val rel = s"${partDir.getFileName}/${f.getFileName}"
         val name = f.getFileName.toString
         if (name.startsWith("s") && name.endsWith(".parquet") && !referenced(rel)) {
-          Files.deleteIfExists(f)
-          deleted += 1
+          val orphanButYoung =
+            !expiredFiles(rel) && {
+              try Files.getLastModifiedTime(f).toMillis >= cutoff
+              catch { case _: java.nio.file.NoSuchFileException => true } // vanished — nothing to delete
+            }
+          if (!orphanButYoung) {
+            Files.deleteIfExists(f)
+            deleted += 1
+          }
         }
       }
       if (listDir(partDir)(!_.hasNext)) Files.deleteIfExists(partDir)

@@ -77,6 +77,8 @@ class MaintainSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers", "raw", "--bogus", "1")))
     intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers")))
     intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--max-files", "4")))
+    // a forgotten storeBase must error, not silently maintain a store named "--tiers"
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("--tiers", "raw")))
   }
 
   test("runAll: one invocation maintains every tier; a leased tier is skipped loudly, not interleaved") {

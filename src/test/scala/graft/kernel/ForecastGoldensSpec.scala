@@ -77,7 +77,12 @@ class ForecastGoldensSpec extends AnyFunSuite {
     // FROZEN
     assert(ours.getMSE == 69.49110969878059)
     assert(ours.getMAD == 5.793884948804503)
-    assert(ours.getAIC == 65.37751081866574)
+    // AIC goes through Math.log (the kernel MUST keep Math.log — the jar
+    // uses it, and parity is bit-exact per-JVM), which is only
+    // 1-ulp-specified across architectures: pin to a tight tolerance, not
+    // exact bits, so the suite holds on non-x86 JVMs while the jar-parity
+    // assert above stays exact
+    assert(math.abs(ours.getAIC - 65.37751081866574) <= 1e-12)
     assert(ours.forecast(times.last + 60.0) == 60.94580827499524)
   }
 

@@ -461,20 +461,33 @@ class TableStoreSpec extends SparkTestBase {
       try { val it = s.iterator(); val b = Seq.newBuilder[String]; while (it.hasNext) { val n = it.next().getFileName.toString; if (n.startsWith(".stale-lock-")) b += n }; b.result() }
       finally s.close()
     }
-    // CONFIRMED steal: the moved file carries exactly the observed body →
-    // removed, path free, no grave residue
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TableStore.DefaultMaintenanceLockTtlMs - 60000L)
+    // CONFIRMED steal: the instance still carries the observed body AND is
+    // still stale at the last-instant re-verify → removed, path free, no
+    // grave residue
     Files.writeString(lock, "pid=1 op=x nonce=crashed")
+    Files.setLastModifiedTime(lock, aged)
     store.stealStaleLock("pid=1 op=x nonce=crashed")
     assert(!Files.exists(lock) && graves().isEmpty)
-    // MISMATCH (the delayed-stealer race, staged deterministically): the
-    // lock now holds a FRESH lease whose body differs from what this
-    // stealer observed before being delayed — the steal must RESTORE the
-    // fresh lease bit-for-bit, leave no grave, and report the lock held
+    // BODY CHANGED (the delayed-stealer race, staged deterministically):
+    // the lock now holds a FRESH lease whose body differs from what this
+    // stealer observed before being delayed — rejected BEFORE the rename:
+    // lock untouched, no grave, reported held. (The post-move restore
+    // branch behind this check is defense-in-depth for a replacement
+    // landing inside the re-check→rename microseconds — not deterministically
+    // reachable from a test.)
     Files.writeString(lock, "pid=2 op=y nonce=fresh-holder")
+    Files.setLastModifiedTime(lock, aged)
     intercept[MaintenanceLockHeld](store.stealStaleLock("pid=1 op=x nonce=crashed"))
     assert(Files.readString(lock) == "pid=2 op=y nonce=fresh-holder",
-      "displaced fresh lease must be restored bit-for-bit")
-    assert(graves().isEmpty, "restore must not leave a grave")
+      "a lease that changed under the steal must be left untouched")
+    assert(graves().isEmpty, "rejected steal must not leave a grave")
+    // NO LONGER STALE (same body, fresh mtime — e.g. the clock was wrong):
+    // also rejected pre-move
+    Files.writeString(lock, "pid=1 op=x nonce=crashed")
+    intercept[MaintenanceLockHeld](store.stealStaleLock("pid=1 op=x nonce=crashed"))
+    assert(Files.exists(lock) && graves().isEmpty)
     // lost race (no lock at all): a no-op, caller loops
     Files.delete(lock)
     store.stealStaleLock("whatever")
@@ -513,6 +526,29 @@ class TableStoreSpec extends SparkTestBase {
     for (i <- 0 until n)
       assert(store.hasCommit(s"stream-cc-batch-$i"), s"ledger lost the append for batch $i")
     assert(store.hasCommit("seed") && !store.hasCommit(s"stream-cc-batch-$n"))
+  }
+
+  test("expiry reclaims expired-manifest files immediately but never a FRESH unreferenced file (in-flight commit)") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 2), "day", "in-v1")
+    store.write(df("2024-01-01" -> 1), "day", "in-v2", onlyPartitions = Some(Set("2024-01-01")))
+    // plant a fresh s-prefixed UNREFERENCED file — exactly what a live
+    // writer's moveStaged leaves in dataDir during the moveStaged →
+    // hashFiles → commit window; deleting it would let that commit land
+    // referencing dead files (silent data loss)
+    val partDir = Paths.get(s"$base/t/data/day=2024-01-01")
+    val inflight = partDir.resolve("s000000099-inflight.parquet")
+    Files.writeString(inflight, "in-flight-placeholder")
+    val reclaimed = store.expireSnapshots(keepLast = 1)
+    assert(reclaimed >= 1, "the expired snapshot's replaced files must be reclaimed immediately (known-dead provenance)")
+    assert(Files.exists(inflight), "a fresh unreferenced file is an in-flight commit, not garbage")
+    // once aged past the orphan gate (a crashed writer), the next cycle reclaims it
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+    store.expireSnapshots(keepLast = 1)
+    assert(!Files.exists(inflight), "aged orphans must be reclaimed")
+    assert(store.read(spark).count() == 1, "manifest-resolved reads are unaffected throughout")
   }
 
   test("commit rejects lineage ids that would corrupt the ledger line grammar") {
