@@ -80,9 +80,23 @@ object TableStore {
     * path; operators with slower streams widen it per run.
     */
   val DefaultWatermarkMaxAgeMs: Long = 7L * 24 * 3600 * 1000
+
+  /** how old an UNREFERENCED data file must be before expiry treats it as a
+    * crashed writer's orphan rather than an in-flight commit's staged file
+    * (Iceberg's remove_orphan_files olderThan, default 3 days, is the
+    * precedent). A day comfortably exceeds any real stage→hash→commit
+    * window while still reclaiming true orphans daily; constructor-tunable
+    * for tables whose single commit legitimately runs longer.
+    */
+  val DefaultOrphanFileGateMs: Long = 24L * 3600 * 1000
 }
 
-final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs) {
+final class TableStore(
+    base: String,
+    table: String,
+    maintenanceLockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs,
+    orphanFileGateMs: Long = TableStore.DefaultOrphanFileGateMs
+) {
 
   private def dataDir = s"$base/$table/data"
   private def manifestDir = Paths.get(s"$base/$table/_manifests")
@@ -255,14 +269,23 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
       // observe→steal delay is unbounded (GC pause, FS stall), and a faster
       // stealer may have stolen + re-acquired in that gap — the instance
       // must STILL carry the observed body and STILL be stale, else the
-      // lock reports held without ever being displaced. The move-then-
+      // lock reports held without ever being displaced. An UNREADABLE lock
+      // fails SAFE to held, same as the acquisition loop (a raw IOException
+      // would also escape runAll's skip-loudly handling). The move-then-
       // verify restore below remains as defense-in-depth for a replacement
       // landing inside the re-check→rename microseconds.
-      if (Files.readString(maintenanceLockPath) != observedBody)
+      val (reBody, reAge) =
+        try (Files.readString(maintenanceLockPath), System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis)
+        catch {
+          case e: java.nio.file.NoSuchFileException => throw e // lost the race — outer catch returns
+          case _: java.io.IOException =>
+            throw new MaintenanceLockHeld(s"maintenance lock on $table unreadable at steal re-verify — treating as held")
+        }
+      if (reBody != observedBody)
         throw new MaintenanceLockHeld(
           s"maintenance lock on $table: the lease changed before the steal — another maintenance writer is active"
         )
-      if (System.currentTimeMillis() - Files.getLastModifiedTime(maintenanceLockPath).toMillis < maintenanceLockTtlMs)
+      if (reAge < maintenanceLockTtlMs)
         throw new MaintenanceLockHeld(
           s"maintenance lock on $table: the lease is no longer stale — another maintenance writer is active"
         )
@@ -651,7 +674,15 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
             _.filter(_.getFileName.toString.endsWith(".parquet"))
               .map { f =>
                 val newName = f"s$newId%09d-${f.getFileName.toString}"
-                Files.move(f, target.resolve(newName))
+                // a concurrent expiry can delete the target dir in the gap
+                // between our createDirectories and this move (it looked
+                // empty from over there) — recreate and retry once
+                try Files.move(f, target.resolve(newName))
+                catch {
+                  case _: java.nio.file.NoSuchFileException =>
+                    Files.createDirectories(target)
+                    Files.move(f, target.resolve(newName))
+                }
                 s"$dirName/$newName"
               }
               .toSeq
@@ -875,10 +906,11 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
     //    referencing dead files (silent data loss). These are AGE-GATED,
     //    the same reason Iceberg's remove_orphan_files has olderThan:
     //    young ones wait for the next cycle, true orphans (crashed
-    //    writers) age past the gate and are reclaimed then. A writer
-    //    PAUSED mid-commit longer than the gate is the same inherent
-    //    class as the lease-TTL caveat.
+    //    writers) age past the gate and are reclaimed then
+    //    (`orphanFileGateMs`, default a day — sized far above any real
+    //    stage→hash→commit window, tunable for longer single commits).
     val expiredFiles = expiring.flatMap(s => s.partitions.flatMap(_.files)).toSet
+    val orphanCutoff = System.currentTimeMillis() - orphanFileGateMs
     val dd = Paths.get(dataDir)
     if (!Files.isDirectory(dd)) return 0
     var deleted = 0
@@ -889,16 +921,19 @@ final class TableStore(base: String, table: String, maintenanceLockTtlMs: Long =
         if (name.startsWith("s") && name.endsWith(".parquet") && !referenced(rel)) {
           val orphanButYoung =
             !expiredFiles(rel) && {
-              try Files.getLastModifiedTime(f).toMillis >= cutoff
+              try Files.getLastModifiedTime(f).toMillis >= orphanCutoff
               catch { case _: java.nio.file.NoSuchFileException => true } // vanished — nothing to delete
             }
-          if (!orphanButYoung) {
-            Files.deleteIfExists(f)
-            deleted += 1
-          }
+          if (!orphanButYoung && Files.deleteIfExists(f)) deleted += 1
         }
       }
-      if (listDir(partDir)(!_.hasNext)) Files.deleteIfExists(partDir)
+      // drop a now-empty partition dir; a LIVE writer can be creating or
+      // filling the same dir concurrently (moveStaged), so a
+      // filled-in-between dir throws DirectoryNotEmpty — skip it, and
+      // moveStaged recreates a deleted-under-it dir on its side
+      if (listDir(partDir)(!_.hasNext))
+        try Files.deleteIfExists(partDir)
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     }
     deleted
   }

@@ -545,7 +545,8 @@ class TableStoreSpec extends SparkTestBase {
     assert(Files.exists(inflight), "a fresh unreferenced file is an in-flight commit, not garbage")
     // once aged past the orphan gate (a crashed writer), the next cycle reclaims it
     Files.setLastModifiedTime(inflight,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TableStore.DefaultOrphanFileGateMs - 3600 * 1000L))
     store.expireSnapshots(keepLast = 1)
     assert(!Files.exists(inflight), "aged orphans must be reclaimed")
     assert(store.read(spark).count() == 1, "manifest-resolved reads are unaffected throughout")
