@@ -56,6 +56,7 @@ object Rollup {
   * Usage (flag form — multi-tier, tunable watermark guard):
   *   Maintain <storeBase> --tiers raw,1h,1d [--max-files 8] [--keep-snapshots 3]
   *            [--ttl-cutoff <day>] [--watermark-max-age-days 7]
+  *            [--lock-ttl-minutes 30] [--orphan-gate-hours 24]
   * Legacy positional form still accepted:
   *   Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
   */
@@ -76,12 +77,18 @@ object Maintain {
       ttlCutoff: Option[String] = None,
       // single-sourced from the store (see TableStore.DefaultWatermarkMaxAgeMs);
       // operators with slow streams widen it via --watermark-max-age-days
-      watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs
+      watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs,
+      // store lease/orphan tunables (TableStore constructor params): widen
+      // the lock TTL when a maintenance op can legitimately stall longer,
+      // and the orphan gate when a single commit can run longer than a day
+      lockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs,
+      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs
   )
 
   private val usage =
     "Usage: Maintain <storeBase> --tiers t1[,t2,...] [--max-files N] [--keep-snapshots N] " +
-      "[--ttl-cutoff day] [--watermark-max-age-days D] | Maintain <storeBase> <tier> [maxFiles] [keepSnapshots] [ttlCutoff]"
+      "[--ttl-cutoff day] [--watermark-max-age-days D] [--lock-ttl-minutes M] [--orphan-gate-hours H] | " +
+      "Maintain <storeBase> <tier> [maxFiles] [keepSnapshots] [ttlCutoff]"
 
   /** flag form and the legacy positional form (any `--` switch selects flags) */
   private[jobs] def parseArgs(args: Array[String]): Args = {
@@ -102,6 +109,8 @@ object Maintain {
           case "--keep-snapshots"         => a = a.copy(keepSnapshots = rest(i + 1).toInt)
           case "--ttl-cutoff"             => a = a.copy(ttlCutoff = Some(rest(i + 1)))
           case "--watermark-max-age-days" => a = a.copy(watermarkMaxAgeMs = (rest(i + 1).toDouble * 24 * 3600 * 1000).toLong)
+          case "--lock-ttl-minutes"       => a = a.copy(lockTtlMs = (rest(i + 1).toDouble * 60 * 1000).toLong)
+          case "--orphan-gate-hours"      => a = a.copy(orphanGateMs = (rest(i + 1).toDouble * 3600 * 1000).toLong)
           case other                      => throw new IllegalArgumentException(s"unknown Maintain arg $other\n$usage")
         }
         i += 2
@@ -131,9 +140,11 @@ object Maintain {
       keepSnapshots: Int = 3,
       ttlCutoff: Option[String] = None,
       watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs,
-      report: String => Unit = _ => ()
+      report: String => Unit = _ => (),
+      lockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs,
+      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs
   ): Report = {
-    val store = new TableStore(storeBase, s"tier_$tier")
+    val store = new TableStore(storeBase, s"tier_$tier", lockTtlMs, orphanGateMs)
     val ttlSnap = ttlCutoff.map { cutoff =>
       val s = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
       report(s"""{"step":"ttl","tier":"$tier","cutoff":"$cutoff","snapshot":${s.snapshotId},"partitions":${s.partitions.size}}""")
@@ -180,7 +191,8 @@ object Maintain {
   def runAll(spark: SparkSession, a: Args, report: String => Unit = println): Unit =
     for (tier <- a.tiers)
       try {
-        val r = run(spark, a.storeBase, tier, a.maxFiles, a.keepSnapshots, a.ttlCutoff, a.watermarkMaxAgeMs, report)
+        val r = run(spark, a.storeBase, tier, a.maxFiles, a.keepSnapshots, a.ttlCutoff, a.watermarkMaxAgeMs, report,
+          a.lockTtlMs, a.orphanGateMs)
         report(
           s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}"""
         )

@@ -79,6 +79,9 @@ class MaintainSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--max-files", "4")))
     // a forgotten storeBase must error, not silently maintain a store named "--tiers"
     intercept[IllegalArgumentException](Maintain.parseArgs(Array("--tiers", "raw")))
+    // store lease/orphan tunables reach the Args (and from there the TableStore ctor)
+    val tuned = Maintain.parseArgs(Array("/s", "--tiers", "raw", "--lock-ttl-minutes", "90", "--orphan-gate-hours", "48"))
+    assert(tuned.lockTtlMs == 90L * 60 * 1000 && tuned.orphanGateMs == 48L * 3600 * 1000)
   }
 
   test("runAll: one invocation maintains every tier; a leased tier is skipped loudly, not interleaved") {
@@ -113,6 +116,25 @@ class MaintainSpec extends SparkTestBase {
     val out2 = scala.collection.mutable.ArrayBuffer.empty[String]
     Maintain.runAll(spark, Maintain.Args(base, Seq("1h"), maxFiles = 2, keepSnapshots = 1), out2 += _)
     assert(out2.exists(_.contains("\"step\":\"done\"")) && new TableStore(base, "tier_1h").snapshots.size == 1)
+  }
+
+  test("lease/orphan tunables flow through run() to the store") {
+    val base = Files.createTempDirectory("graft_maint_tune").toString
+    val store = new TableStore(base, "tier_raw")
+    store.write(df("2024-03-01" -> 2), "day", "in-v1")
+    store.write(df("2024-03-01" -> 1), "day", "in-v2", onlyPartitions = Some(Set("2024-03-01")))
+    // orphan gate 0: a FRESH unreferenced file is treated as an aged orphan
+    // and reclaimed in the same cycle — proves the flag reaches expiry
+    val inflight = Paths.get(s"$base/tier_raw/data/day=2024-03-01/s000000099-inflight.parquet")
+    Files.writeString(inflight, "x")
+    Maintain.run(spark, base, "raw", keepSnapshots = 1, orphanGateMs = 0L)
+    assert(!Files.exists(inflight), "orphan-gate override must reach the store")
+    // lock TTL 0: a just-written foreign lease is immediately stealable —
+    // proves the flag reaches the lease
+    val lock = Paths.get(s"$base/tier_raw/_manifests/maintenance.lock")
+    Files.writeString(lock, "pid=9 op=x nonce=other")
+    val r = Maintain.run(spark, base, "raw", keepSnapshots = 1, lockTtlMs = 0L)
+    assert(r.filesReclaimed >= 0 && !Files.exists(lock), "lock-ttl override must reach the lease")
   }
 
   test("watermark max-age is settable: a 2-day-old dead watermark survives 7d, dies at 1d") {
