@@ -101,17 +101,28 @@ object Maintain {
     if (rest.exists(_.startsWith("--"))) {
       var a = Args(args(0), Seq.empty)
       var i = 0
+      // zero/negative durations don't tune the safety mechanisms, they
+      // DISABLE them (gate 0 ⇒ expiry eats in-flight commits, TTL 0 ⇒ every
+      // live lease is instantly stealable) — a typo must fail at parse, not
+      // silently run unsafe. NaN fails the same check (NaN > 0 is false).
+      def positive(flag: String, v: Double): Double = {
+        require(v > 0, s"$flag must be positive, got $v\n$usage")
+        v
+      }
       while (i < rest.length) {
         require(i + 1 < rest.length, s"missing value for ${rest(i)}\n$usage")
         rest(i) match {
           case "--tiers"                  => a = a.copy(tiers = rest(i + 1).split(',').toSeq.filter(_.nonEmpty))
-          case "--max-files"              => a = a.copy(maxFiles = rest(i + 1).toInt)
-          case "--keep-snapshots"         => a = a.copy(keepSnapshots = rest(i + 1).toInt)
+          case "--max-files"              => a = a.copy(maxFiles = positive("--max-files", rest(i + 1).toInt).toInt)
+          case "--keep-snapshots"         => a = a.copy(keepSnapshots = positive("--keep-snapshots", rest(i + 1).toInt).toInt)
           case "--ttl-cutoff"             => a = a.copy(ttlCutoff = Some(rest(i + 1)))
-          case "--watermark-max-age-days" => a = a.copy(watermarkMaxAgeMs = (rest(i + 1).toDouble * 24 * 3600 * 1000).toLong)
-          case "--lock-ttl-minutes"       => a = a.copy(lockTtlMs = (rest(i + 1).toDouble * 60 * 1000).toLong)
-          case "--orphan-gate-hours"      => a = a.copy(orphanGateMs = (rest(i + 1).toDouble * 3600 * 1000).toLong)
-          case other                      => throw new IllegalArgumentException(s"unknown Maintain arg $other\n$usage")
+          case "--watermark-max-age-days" =>
+            a = a.copy(watermarkMaxAgeMs = (positive("--watermark-max-age-days", rest(i + 1).toDouble) * 24 * 3600 * 1000).toLong)
+          case "--lock-ttl-minutes" =>
+            a = a.copy(lockTtlMs = (positive("--lock-ttl-minutes", rest(i + 1).toDouble) * 60 * 1000).toLong)
+          case "--orphan-gate-hours" =>
+            a = a.copy(orphanGateMs = (positive("--orphan-gate-hours", rest(i + 1).toDouble) * 3600 * 1000).toLong)
+          case other => throw new IllegalArgumentException(s"unknown Maintain arg $other\n$usage")
         }
         i += 2
       }

@@ -82,6 +82,11 @@ class MaintainSpec extends SparkTestBase {
     // store lease/orphan tunables reach the Args (and from there the TableStore ctor)
     val tuned = Maintain.parseArgs(Array("/s", "--tiers", "raw", "--lock-ttl-minutes", "90", "--orphan-gate-hours", "48"))
     assert(tuned.lockTtlMs == 90L * 60 * 1000 && tuned.orphanGateMs == 48L * 3600 * 1000)
+    // zero/negative/NaN durations DISABLE the safety mechanisms — parse must reject them
+    for (bad <- Seq("0", "-1", "NaN"))
+      intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers", "raw", "--orphan-gate-hours", bad)))
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers", "raw", "--lock-ttl-minutes", "0")))
+    intercept[IllegalArgumentException](Maintain.parseArgs(Array("/s", "--tiers", "raw", "--max-files", "0")))
   }
 
   test("runAll: one invocation maintains every tier; a leased tier is skipped loudly, not interleaved") {
@@ -134,7 +139,9 @@ class MaintainSpec extends SparkTestBase {
     val lock = Paths.get(s"$base/tier_raw/_manifests/maintenance.lock")
     Files.writeString(lock, "pid=9 op=x nonce=other")
     val r = Maintain.run(spark, base, "raw", keepSnapshots = 1, lockTtlMs = 0L)
-    assert(r.filesReclaimed >= 0 && !Files.exists(lock), "lock-ttl override must reach the lease")
+    // already expired to 1 snapshot above, so THIS cycle reclaims nothing —
+    // the point is that it RAN (stole the fresh lease) instead of throwing
+    assert(r.filesReclaimed == 0 && !Files.exists(lock), "lock-ttl override must reach the lease")
   }
 
   test("watermark max-age is settable: a 2-day-old dead watermark survives 7d, dies at 1d") {
