@@ -57,6 +57,7 @@ object Rollup {
   *   Maintain <storeBase> --tiers raw,1h,1d [--max-files 8] [--keep-snapshots 3]
   *            [--ttl-cutoff <day>] [--watermark-max-age-days 7]
   *            [--lock-ttl-minutes 30] [--orphan-gate-hours 24]
+  *            [--min-snapshot-age-hours 0]
   * Legacy positional form still accepted:
   *   Maintain <storeBase> <tier> [maxFiles=8] [keepSnapshots=3] [ttlCutoff]
   */
@@ -82,12 +83,17 @@ object Maintain {
       // the lock TTL when a maintenance op can legitimately stall longer,
       // and the orphan gate when a single commit can run longer than a day
       lockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs,
-      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs
+      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs,
+      // reader grace (Iceberg olderThan): snapshots younger than this are
+      // kept beyond keepSnapshots so a long read job's resolved file set
+      // survives fast streaming commit churn; 0 = count-only
+      minSnapshotAgeMs: Long = 0L
   )
 
   private val usage =
     "Usage: Maintain <storeBase> --tiers t1[,t2,...] [--max-files N] [--keep-snapshots N] " +
-      "[--ttl-cutoff day] [--watermark-max-age-days D] [--lock-ttl-minutes M] [--orphan-gate-hours H] | " +
+      "[--ttl-cutoff day] [--watermark-max-age-days D] [--lock-ttl-minutes M] [--orphan-gate-hours H] " +
+      "[--min-snapshot-age-hours H] | " +
       "Maintain <storeBase> <tier> [maxFiles] [keepSnapshots] [ttlCutoff]"
 
   /** flag form and the legacy positional form (any `--` switch selects flags) */
@@ -122,6 +128,8 @@ object Maintain {
             a = a.copy(lockTtlMs = (positive("--lock-ttl-minutes", rest(i + 1).toDouble) * 60 * 1000).toLong)
           case "--orphan-gate-hours" =>
             a = a.copy(orphanGateMs = (positive("--orphan-gate-hours", rest(i + 1).toDouble) * 3600 * 1000).toLong)
+          case "--min-snapshot-age-hours" => // 0 is legal here: it means count-only expiry, the default
+            a = a.copy(minSnapshotAgeMs = (rest(i + 1).toDouble.max(0) * 3600 * 1000).toLong)
           case other => throw new IllegalArgumentException(s"unknown Maintain arg $other\n$usage")
         }
         i += 2
@@ -153,7 +161,11 @@ object Maintain {
       watermarkMaxAgeMs: Long = TableStore.DefaultWatermarkMaxAgeMs,
       report: String => Unit = _ => (),
       lockTtlMs: Long = TableStore.DefaultMaintenanceLockTtlMs,
-      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs
+      orphanGateMs: Long = TableStore.DefaultOrphanFileGateMs,
+      // reader grace (Iceberg olderThan): snapshots younger than this are
+      // kept beyond keepSnapshots so a long read job's resolved file set
+      // survives fast streaming commit churn; 0 = count-only
+      minSnapshotAgeMs: Long = 0L
   ): Report = {
     val store = new TableStore(storeBase, s"tier_$tier", lockTtlMs, orphanGateMs)
     val ttlSnap = ttlCutoff.map { cutoff =>
@@ -183,7 +195,7 @@ object Maintain {
     // surfaces as MaintenanceLockHeld, never as interleaved metadata writes;
     // the per-step lines above/below make a mid-cycle lock legible (the
     // steps that DID land are already reported).
-    val reclaimed = store.expireSnapshots(keepLast = keepSnapshots)
+    val reclaimed = store.expireSnapshots(keepLast = keepSnapshots, minSnapshotAgeMs = minSnapshotAgeMs)
     report(s"""{"step":"expire","tier":"$tier","filesReclaimed":$reclaimed}""")
     val wmDeleted = store.gcStreamWatermarks(watermarkMaxAgeMs)
     report(s"""{"step":"watermark_gc","tier":"$tier","watermarksGCed":$wmDeleted}""")
@@ -203,7 +215,7 @@ object Maintain {
     for (tier <- a.tiers)
       try {
         val r = run(spark, a.storeBase, tier, a.maxFiles, a.keepSnapshots, a.ttlCutoff, a.watermarkMaxAgeMs, report,
-          a.lockTtlMs, a.orphanGateMs)
+          a.lockTtlMs, a.orphanGateMs, a.minSnapshotAgeMs)
         report(
           s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}"""
         )

@@ -465,8 +465,12 @@ final class TableStore(
     manifestDir.resolve(s"watermark-${java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(streamId).toLong & 0xffffffffL)}-${streamId.replaceAll("[^A-Za-z0-9_-]", "_").take(40)}")
 
   def streamWatermark(streamId: String): Option[Long] = {
-    val p = watermarkPath(streamId)
-    if (!Files.exists(p)) None else Files.readString(p).trim.toLongOption
+    // single read, no exists() pre-check: gcStreamWatermarks may delete the
+    // file between the two calls (its contract says deleting any watermark
+    // is safe BECAUSE this is only a fast path), so a vanished file must
+    // read as "no watermark", never crash the streaming batch
+    try Files.readString(watermarkPath(streamId)).trim.toLongOption
+    catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
   def setStreamWatermark(streamId: String, batchId: Long): Unit = {
@@ -614,9 +618,19 @@ final class TableStore(
   ): Snapshot = {
     val spark = df.sparkSession
     val toWrite = onlyPartitions match {
-      case Some(ps) if ps.nonEmpty => df.where(col(partitionCol).cast("string").isin(ps.toSeq: _*))
-      case Some(_)                 => df.where(lit(false))
-      case None                    => df
+      case Some(ps) if ps.nonEmpty =>
+        // manifests key the null partition as __HIVE_DEFAULT_PARTITION__ —
+        // that member must select IS NULL rows explicitly: isin(null, ...)
+        // evaluates to NULL for null values and WHERE drops them, which on
+        // the resume path would silently never write the null partition
+        val c = col(partitionCol).cast("string")
+        val real = (ps - ExternalCatalogUtils.DEFAULT_PARTITION_NAME).toSeq
+        val conds =
+          (if (real.nonEmpty) Seq(c.isin(real: _*)) else Seq.empty) ++
+            (if (ps.contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)) Seq(c.isNull) else Seq.empty)
+        df.where(conds.reduce(_ || _))
+      case Some(_) => df.where(lit(false))
+      case None    => df
     }
     // the prospective snapshot id seeds the file-name prefix only (cosmetic
     // lineage hint); the commit id is decided atomically at commit time
@@ -848,19 +862,32 @@ final class TableStore(
     * snapshots, delete every data file referenced by no kept snapshot and
     * the expired manifest JSONs. Runs under the maintenance lease (the
     * ledger append below must never race another maintainer's ledger
-    * rewrite). Returns the number of data files deleted.
+    * rewrite). `minSnapshotAgeMs` (Iceberg's olderThan) additionally keeps
+    * every snapshot YOUNGER than that age regardless of count — the reader
+    * grace window: keepLast alone is count-based, so a fast streaming
+    * writer can erode a long-running reader's resolved snapshot to seconds
+    * before its files are deleted under the scan. Size it above the longest
+    * read job against a live tier (0 = count-only, the default). Returns
+    * the number of data files deleted.
     */
-  def expireSnapshots(keepLast: Int = 1): Int = {
+  def expireSnapshots(keepLast: Int = 1, minSnapshotAgeMs: Long = 0L): Int = {
     if (!Files.isDirectory(manifestDir)) return 0
-    withMaintenanceLock("expireSnapshots")(expireSnapshotsLocked(keepLast))
+    withMaintenanceLock("expireSnapshots")(expireSnapshotsLocked(keepLast, minSnapshotAgeMs))
   }
 
-  private def expireSnapshotsLocked(keepLast: Int): Int = {
+  private def expireSnapshotsLocked(keepLast: Int, minSnapshotAgeMs: Long): Int = {
     val all = snapshots
     if (all.isEmpty) return 0
-    val kept = all.takeRight(math.max(1, keepLast))
+    val ageCutoff = System.currentTimeMillis() - minSnapshotAgeMs
+    val expiring = all.dropRight(math.max(1, keepLast)).filter { s =>
+      minSnapshotAgeMs <= 0L || {
+        try Files.getLastModifiedTime(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json")).toMillis < ageCutoff
+        catch { case _: java.nio.file.NoSuchFileException => true } // manifest already gone — finish its cleanup
+      }
+    }
+    val expiringIds = expiring.map(_.snapshotId).toSet
+    val kept = all.filterNot(s => expiringIds(s.snapshotId))
     val referenced = kept.flatMap(s => s.partitions.flatMap(_.files)).toSet
-    val expiring = all.dropRight(math.max(1, keepLast))
     // BEFORE deleting, roll the expiring manifests' lineage ids into the
     // ledger so hasCommit (streaming replay guard) survives expiry; a crash
     // between append and delete leaves both — harmless duplicates
@@ -893,6 +920,20 @@ final class TableStore(
       try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
       catch { case _: java.nio.file.NoSuchFileException => () }
     }
+    // sweep crashed writers' staged copies: a kill during the staging write
+    // leaks the whole .stage-* directory (a full data copy) that the
+    // writer's in-process cleanup never reclaims, and nothing else lists
+    // these siblings of data/. Age-gated by the SAME orphan gate as
+    // unreferenced data files — a live writer's stage dir is younger than
+    // the gate by construction (its root mtime is set at creation and at
+    // each partition-subdir creation, early in the write).
+    val stageCutoff = System.currentTimeMillis() - orphanFileGateMs
+    val tableDir = Paths.get(s"$base/$table")
+    if (Files.isDirectory(tableDir))
+      listDir(tableDir)(_.filter(_.getFileName.toString.startsWith(".stage-")).toSeq).foreach { p =>
+        try if (Files.getLastModifiedTime(p).toMillis < stageCutoff) deleteRecursively(p)
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
     // delete unreferenced data files (only snapshot-prefixed files are
     // manifest-tracked; leave any legacy files alone). Two provenance
     // classes, treated differently:

@@ -62,9 +62,25 @@ object TierBuilder {
     val done = store.completedPartitions(inputSnapshot)
     if (done.isEmpty) store.write(df, "day", inputSnapshot)
     else {
-      val all = df.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).toSet
-      val missing = all -- done
-      store.write(df, "day", inputSnapshot, onlyPartitions = Some(missing))
+      // persist: the distinct-days probe and the staged write would
+      // otherwise each re-execute the full derive plan on resume
+      val p = df.persist()
+      try {
+        // manifests key a null day as __HIVE_DEFAULT_PARTITION__ — compare
+        // in that keyspace or the null partition reads as forever-missing
+        // (and TableStore.write's isin filter would then drop its rows)
+        val all = p
+          .select(col("day").cast("string"))
+          .distinct()
+          .collect()
+          .map(r => Option(r.getString(0)).getOrElse(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+          .toSet
+        val missing = all -- done
+        // everything already landed (a completed run re-invoked): committing
+        // a no-op snapshot would only churn ids toward expiry
+        if (missing.isEmpty) store.currentSnapshot.get
+        else store.write(p, "day", inputSnapshot, onlyPartitions = Some(missing))
+      } finally p.unpersist(blocking = false)
     }
   }
 }

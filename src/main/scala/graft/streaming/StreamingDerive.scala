@@ -39,8 +39,13 @@ object StreamingDerive {
   /** write a derived stream into a BARE parquet directory via foreachBatch
     * (no manifests — for consumers that list the directory directly;
     * OutputMode.Append emits a window only once its watermark passes).
-    * Prefer `writeToTierStore` for manifest-resolved tiers: files appended
-    * here are INVISIBLE to a TableStore's snapshot reads.
+    * AT-LEAST-ONCE: a crash between the parquet append and the checkpoint's
+    * offset commit replays the whole micro-batch on restart and appends its
+    * rows AGAIN — there is no replay guard here by design (a bare directory
+    * has nowhere to record lineage). Consumers must tolerate duplicates or
+    * dedup on (scope, metric, bucket). Prefer `writeToTierStore` for
+    * exactly-once manifest-resolved tiers: files appended here are also
+    * INVISIBLE to a TableStore's snapshot reads.
     */
   def writeToTier(derived: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     derived.writeStream

@@ -33,6 +33,25 @@ object StreamingDetect {
 
   final case class ScopeState(points: Array[SeriesPoint])
 
+  /** bound a scope's accumulated series: keep the newest buckets per
+    * metric. The per-metric budget is FLOORED at 1: with more distinct
+    * metrics than `maxSeriesPoints` the integer quotient is 0 and
+    * takeRight(0) would silently wipe every series each batch, permanently
+    * disabling detection for the scope — slightly exceeding the configured
+    * cap is the strictly better failure. Extracted for direct spec coverage.
+    */
+  private[streaming] def boundState(merged: Array[SeriesPoint], maxSeriesPoints: Int): Array[SeriesPoint] =
+    if (merged.length <= maxSeriesPoints) merged
+    else {
+      val perMetric = math.max(1, maxSeriesPoints / math.max(1, merged.map(_.metric).distinct.length))
+      merged
+        .groupBy(_.metric)
+        .values
+        .flatMap(ps => ps.sortBy(_.bucket).takeRight(perMetric))
+        .toArray
+        .sortBy(p => (p.metric, p.bucket))
+    }
+
   def detectStream(
       derived: Dataset[SeriesPoint],
       cfg: EngineConfig,
@@ -56,16 +75,7 @@ object StreamingDetect {
               .map(_._2.last)
               .toArray
               .sortBy(p => (p.metric, p.bucket))
-            // bound state: keep the newest buckets per metric
-            val bounded =
-              if (merged.length <= cfg.maxSeriesPoints) merged
-              else
-                merged
-                  .groupBy(_.metric)
-                  .values
-                  .flatMap(ps => ps.sortBy(_.bucket).takeRight(cfg.maxSeriesPoints / math.max(1, merged.map(_.metric).distinct.length)))
-                  .toArray
-                  .sortBy(p => (p.metric, p.bucket))
+            val bounded = boundState(merged, cfg.maxSeriesPoints)
             state.update(ScopeState(bounded))
             state.setTimeoutDuration(idleTimeoutMs)
 

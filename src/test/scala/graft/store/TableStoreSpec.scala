@@ -528,6 +528,65 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.hasCommit("seed") && !store.hasCommit(s"stream-cc-batch-$n"))
   }
 
+  test("onlyPartitions selects the NULL partition via its __HIVE_DEFAULT_PARTITION__ manifest key (resume path)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val nullKey = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    def mixed = Seq((Option("2024-01-01"), 1.0), (Option("2024-01-01"), 2.0), (Option.empty[String], 9.0))
+      .toDF("day", "value")
+    val s0 = store.write(mixed, "day", "in-v1")
+    assert(s0.partitions.map(_.partition).toSet == Set("2024-01-01", nullKey))
+    // resume targeting ONLY the null partition: isin(null) evaluates to
+    // NULL and silently drops the rows — the filter must map the manifest
+    // key back to IS NULL, or the partition is never written on resume
+    val s1 = store.write(mixed.where(col("day").isNull), "day", "in-v2", onlyPartitions = Some(Set(nullKey)))
+    val nullEntry = s1.partitions.find(_.partition == nullKey).get
+    assert(nullEntry.rows == 1, s"null partition must carry its row after a targeted rewrite: $s1")
+    // mixed selection (null + real) also lands both
+    store.write(mixed, "day", "in-v3", onlyPartitions = Some(Set(nullKey, "2024-01-01")))
+    val back = store.read(spark).agg(sum("value")).collect()(0).getDouble(0)
+    assert(back == 12.0, s"all rows of both partitions must read back, got $back")
+  }
+
+  test("expireSnapshots minSnapshotAgeMs: young snapshots survive beyond keepLast (reader grace)") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 1), "day", "in-v1")
+    store.write(df("2024-01-01" -> 1), "day", "in-v2", onlyPartitions = Some(Set("2024-01-01")))
+    store.write(df("2024-01-01" -> 1), "day", "in-v3", onlyPartitions = Some(Set("2024-01-01")))
+    // all three manifests are seconds old: with a 1h grace, keepLast=1
+    // expires NOTHING — a long-running reader's resolved snapshot survives
+    assert(store.expireSnapshots(keepLast = 1, minSnapshotAgeMs = 3600 * 1000L) == 0)
+    assert(store.snapshots.size == 3, "young snapshots must survive count-based expiry under the grace")
+    // age the two oldest manifests past the grace → they expire, newest stays
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000)
+    for (id <- Seq(0L, 1L))
+      Files.setLastModifiedTime(Paths.get(f"$base/t/_manifests/snapshot-$id%09d.json"), old)
+    assert(store.expireSnapshots(keepLast = 1, minSnapshotAgeMs = 3600 * 1000L) > 0)
+    assert(store.snapshots.map(_.snapshotId) == Seq(2L))
+    assert(store.read(spark).count() == 1)
+  }
+
+  test("expiry sweeps a crashed writer's aged .stage-* directory, never a fresh one") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 1), "day", "in-v1")
+    // a crashed writer's leftover staged copy (directory + nested file)
+    val stale = Paths.get(s"$base/t/.stage-9-dead")
+    Files.createDirectories(stale.resolve("day=2024-01-01"))
+    Files.writeString(stale.resolve("day=2024-01-01/part-0.parquet"), "x")
+    val fresh = Paths.get(s"$base/t/.stage-9-live")
+    Files.createDirectories(fresh)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TableStore.DefaultOrphanFileGateMs - 3600 * 1000L)
+    Files.setLastModifiedTime(stale, old)
+    store.expireSnapshots(keepLast = 1)
+    assert(!Files.exists(stale), "aged stage dir (crashed writer) must be swept recursively")
+    assert(Files.exists(fresh), "a live writer's fresh stage dir must survive")
+  }
+
   test("expiry reclaims expired-manifest files immediately but never a FRESH unreferenced file (in-flight commit)") {
     val base = tmp()
     val store = new TableStore(base, "t")

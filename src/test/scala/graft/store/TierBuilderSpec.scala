@@ -48,10 +48,11 @@ class TierBuilderSpec extends SparkTestBase {
       val b = resumed(tier).partitions.map(p => (p.partition, p.rows, p.contentHash))
       assert(a == b, s"tier $tier content")
     }
-    // resume wrote a SECOND snapshot for raw (id advanced), same content
+    // resume SKIPS the fully-completed raw tier: no no-op snapshot is
+    // committed (churn would push real history toward keepLast expiry)
     val rawStore = new TableStore(baseKilled, "tier_raw")
-    assert(rawStore.snapshots.size == 2)
-    assert(rawStore.snapshots.head.partitions == rawStore.snapshots.last.partitions)
+    assert(rawStore.snapshots.size == 1, "completed tier must not gain a redundant snapshot on resume")
+    assert(resumed("raw").partitions == rawStore.currentSnapshot.get.partitions)
   }
 
   test("TTL demotion drops old partitions and re-manifests") {

@@ -105,4 +105,20 @@ class StreamingDetectSpec extends SparkTestBase {
       assert(evicted, "state store still holds rows for the idle scope after timeout")
     } finally q.stop()
   }
+
+  test("boundState keeps at least one point per metric when metrics outnumber maxSeriesPoints") {
+    // 5 metrics × 3 buckets, cap 4: the integer per-metric budget would be
+    // 4/5 = 0 and takeRight(0) silently wiped EVERY series each batch —
+    // the floor keeps the newest bucket per metric instead
+    val pts = (for (m <- 0 until 5; b <- 0 until 3)
+      yield Detect.SeriesPoint("sc", s"m$m", 1000L + b * 60, b.toDouble)).toArray
+    val bounded = StreamingDetect.boundState(pts, maxSeriesPoints = 4)
+    assert(bounded.map(_.metric).distinct.length == 5, "every metric must retain at least one point")
+    assert(bounded.forall(_.bucket == 1120L), "the NEWEST bucket per metric is the one kept")
+    // under the cap: untouched
+    assert(StreamingDetect.boundState(pts, maxSeriesPoints = 100) sameElements pts)
+    // normal case: budget divides evenly, newest buckets kept per metric
+    val two = StreamingDetect.boundState(pts, maxSeriesPoints = 10)
+    assert(two.length == 10 && two.count(_.metric == "m0") == 2 && two.forall(_.bucket >= 1060L))
+  }
 }
