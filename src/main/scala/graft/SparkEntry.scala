@@ -749,9 +749,11 @@ object SparkEntry {
          |  FROM pts)
          |SELECT scope, bucket, round(value, 2) AS val, round(ma, 4) AS ma FROM m WHERE cnt = 10""".stripMargin,
     "q12_dedup_exact" ->
-      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS cnt FROM documents GROUP BY 1",
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS cnt FROM documents WHERE text IS NOT NULL GROUP BY 1",
     "q13_token_count" ->
-      """SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      // list_filter mirrors TextOps.tokens' empty-token filter (split of an
+      // empty/whitespace-only doc yields [''] on both engines)
+      """SELECT doc_id, CAST(length(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords FROM documents""".stripMargin,
     "q14_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,

@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * through a dedup shuffle; IVF centroids are DATA in a broadcast single-row
   * frame, not plan literals, and Lloyd refinement is a distributed
   * explode-by-dimension aggregation with no driver collect.
+  *
+  * PRECONDITION: `vec_id` is unique in the corpus. The exact paths
+  * (brute/IVF) emit one row per corpus row, so a duplicated id would occupy
+  * multiple top-k slots, while the LSH path collapses duplicates via its
+  * (query, neighbor) max-aggregate — feed deduplicated ids.
   */
 object Ann {
 
@@ -26,10 +31,16 @@ object Ann {
     * codegen'd DotProduct/SquaredNorm expressions (graft.functions) — the
     * zip_with/aggregate formulation pays the lambda interpreter per element
     * per candidate; accumulation order is identical, results bit-equal.
+    *
+    * ZERO-NORM guard: a degenerate (all-zeros) embedding makes the division
+    * 0/0 = NaN, and Spark orders NaN ABOVE every double — an unguarded NaN
+    * would take rank 1 in every top-k window and pass every `sim >=
+    * threshold` filter. Zero-norm pairs score -1 (never a neighbor) instead.
     */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.VectorExpressions.{dot, squaredNorm}
-    dot(a, b) / (sqrt(squaredNorm(a)) * sqrt(squaredNorm(b)))
+    val denom = sqrt(squaredNorm(a)) * sqrt(squaredNorm(b))
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(-1.0))
   }
 
   /** brute-force top-k: every query row against the full corpus.
@@ -86,16 +97,35 @@ object Ann {
   /** embedding dimensionality: the caller-supplied value when given (> 0),
     * else inferred with a one-row Spark job — a hidden `.head` in a library
     * entry point is three extra jobs per ANN call, so callers that know
-    * their dims (they almost always do) should pass them.
+    * their dims (they almost always do) should pass them. An empty corpus
+    * (or all-null embeddings) cannot be inferred from and fails with a
+    * clear message instead of a bare NoSuchElementException.
     */
   private def resolveDims(df: DataFrame, dims: Int): Int =
-    if (dims > 0) dims else df.select(size(col("embedding"))).head.getInt(0)
+    if (dims > 0) dims
+    else
+      df.where(col("embedding").isNotNull)
+        .select(size(col("embedding")))
+        .limit(1)
+        .collect()
+        .headOption
+        .map(_.getInt(0))
+        .getOrElse(
+          throw new IllegalArgumentException("cannot infer embedding dims from an empty corpus — pass dims explicitly")
+        )
 
   /** (vec_id, embedding, t, b) rows for all tables, with a per-(t, b)
-    * hot-bucket cap: a bucket of B rows would emit B² join rows; beyond
-    * maxBucketSize the bucket carries almost no signal (those vectors
-    * collide with everything) and is dropped, bounding the join output by
-    * |buckets|·cap² — linear in the corpus.
+    * hot-bucket cap. A bucket of B rows would emit B² join rows, so beyond
+    * maxBucketSize the bucket is THINNED to ≈cap rows by a deterministic
+    * uniform id-hash filter, bounding the join output by |buckets|·cap².
+    * Thinning, not dropping: the bucket id space is only nTables·2^nPlanes
+    * values, so at corpus scale EVERY bucket exceeds any fixed cap —
+    * dropping whole hot buckets would silently return zero results exactly
+    * at scale (the sf-scale oracles sit under the cap and cannot see it);
+    * a sampled bucket degrades to partial recall instead. The census is an
+    * aggregate + broadcast join (≤ nTables·2^nPlanes rows by construction),
+    * NOT a window — a window's partitionBy(t, b) would funnel the whole
+    * corpus, embeddings included, through ≤ |buckets| tasks.
     */
   private def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
     val tables = array(
@@ -104,10 +134,13 @@ object Ann {
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val wB = Window.partitionBy("t", "b")
+    val sizes = bucketed.groupBy("t", "b").agg(count(lit(1)).as("_bsz"))
     bucketed
-      .withColumn("_bsz", count(lit(1)).over(wB))
-      .where(col("_bsz") <= maxBucketSize)
+      .join(broadcast(sizes), Seq("t", "b"))
+      .where(
+        col("_bsz") <= maxBucketSize ||
+          pmod(xxhash64(col("vec_id")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
+      )
       .drop("_bsz")
   }
 
@@ -185,7 +218,7 @@ object Ann {
     * at real cell counts (4k–64k) inlining them into the plan explodes
     * codegen; a single-row cross join scales to any nCells.
     */
-  private def centroidRow(assigned: DataFrame, dims: Int): DataFrame =
+  private def centroidRow(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy("cell", "d")
@@ -223,6 +256,8 @@ object Ann {
     * dimension aggregation + a single-row broadcast cross join — no driver
     * collect, no orderBy, no plan-literal centroids. Search probes the
     * nProbe nearest cells per query; the candidate join key is the cell id.
+    * `dims` is accepted for API uniformity with the LSH paths but unused —
+    * centroids take their width from the data, so no inference job runs.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -233,18 +268,19 @@ object Ann {
       lloydIters: Int = 2,
       dims: Int = 0
   ): DataFrame = {
-    val dims0 = resolveDims(corpus, dims)
+    // dims is not needed here: centroids take their width from the data
+    // (posexplode over each embedding), so no inference job runs
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
     // localCheckpoint each round's centroid row (ONE tiny row): without it
     // every later plan re-executes the whole chain of previous Lloyd passes
-    var cRow = centroidRow(seeded, dims0).localCheckpoint()
+    var cRow = centroidRow(seeded).localCheckpoint()
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned, dims0).localCheckpoint()
+      cRow = centroidRow(assigned).localCheckpoint()
       it += 1
     }
 

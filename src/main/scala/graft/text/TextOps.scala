@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** whitespace tokens, reference-style split */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** whitespace tokens, reference-style split. Empty tokens are filtered:
+    * split("") yields [""], which would count one phantom token for every
+    * empty/whitespace-only doc (inflating corpus token accounting at scale)
+    * and feed crc32("") into fingerprints/simhashes.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** token count (BPE-ish subword estimate = ceil(chars/4) also provided) */
   def withTokenCounts(docs: DataFrame): DataFrame =
@@ -77,9 +82,14 @@ object TextOps {
       )
     )
 
-  /** exact dedup: group identical texts (by md5), keep the smallest doc_id. */
+  /** exact dedup: group identical texts (by md5), keep the smallest doc_id.
+    * Null-text docs are EXCLUDED: md5(null) is null, so grouping would mark
+    * every failed-extraction doc as a "duplicate" of all the others and a
+    * caller acting on keep_id would drop distinct documents.
+    */
   def exactDedup(docs: DataFrame): DataFrame =
     docs
+      .where(col("text").isNotNull)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
 
@@ -129,17 +139,27 @@ object TextOps {
     * The shuffle key is (band, hash) — uniform by construction.
     */
   def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
+    require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
+    // CEILING band count: truncating division silently ignored the trailing
+    // k % rowsPerBand signature components (recall loss with no warning),
+    // and k < rowsPerBand made sequence(0, -1) DESCEND, creating a
+    // degenerate band shared by every doc. The last band may be narrower —
+    // slice past the array end just yields the shorter tail.
     val banded = signatures
       .select(
         col("doc_id"),
         posexplode(
           transform(
-            sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+            sequence(lit(0), ceil(size(col("sig")).cast("double") / rowsPerBand).cast("int") - 1),
             b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
           )
         ).as(Seq("band", "band_sig"))
       )
-      .select(col("doc_id"), col("band"), hash(col("band"), col("band_sig")).as("bucket"))
+      // 64-bit bucket key: the 32-bit hash() saturates at billions of docs
+      // per band, merging unrelated signature groups into one bucket — the
+      // merged bucket trips the cap and its REAL candidate pairs are
+      // silently dropped
+      .select(col("doc_id"), col("band"), xxhash64(col("band"), col("band_sig")).as("bucket"))
     // hot-bucket cap: a bucket of B docs emits B²/2 pairs — at corpus scale a
     // degenerate bucket (e.g. boilerplate-identical band signatures) is a
     // cross-product bomb, and pairs inside a huge bucket are the least
@@ -182,9 +202,13 @@ object TextOps {
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // NO broadcast hint on the per-doc counts: one row PER DOCUMENT is
+    // unbounded in corpus size (a forced broadcast OOMs the driver at
+    // billions of docs) — Catalyst/AQE broadcasts automatically whenever
+    // the frame actually fits
     inter
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")

@@ -132,6 +132,10 @@ class MaintainSpec extends SparkTestBase {
     // and reclaimed in the same cycle — proves the flag reaches expiry
     val inflight = Paths.get(s"$base/tier_raw/data/day=2024-03-01/s000000099-inflight.parquet")
     Files.writeString(inflight, "x")
+    // backdate a few seconds: gate 0 compares mtime against "now" captured
+    // inside expiry, and a same-millisecond tie would flakily keep the file
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
     Maintain.run(spark, base, "raw", keepSnapshots = 1, orphanGateMs = 0L)
     assert(!Files.exists(inflight), "orphan-gate override must reach the store")
     // lock TTL 0: a just-written foreign lease is immediately stealable —

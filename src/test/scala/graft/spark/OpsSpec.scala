@@ -133,6 +133,89 @@ class OpsSpec extends SparkTestBase {
     (0 until 10).foreach(i => assert(pairs.contains((i.toLong, 10000L + i)), s"missing dup $i"))
   }
 
+  test("zero-norm embeddings never rank as neighbors (NaN cosine guard)") {
+    val s = spark
+    import s.implicits._
+    // 8 real vectors + one all-zeros degenerate (failed encoder output):
+    // 0/0 = NaN, and Spark sorts NaN ABOVE all doubles — unguarded, the
+    // zero vector would take rank 1 for every query and pass any threshold
+    val real = (0 until 8).map(i => (i.toLong, Array.tabulate(4)(d => (1.0 + i + d)))).toDF("vec_id", "embedding")
+    val zero = Seq((99L, Array.fill(4)(0.0))).toDF("vec_id", "embedding")
+    val corpus = real.unionByName(zero)
+    val queries = real.where(col("vec_id") === 0L)
+    val top = Ann.bruteForceTopK(corpus, queries, 3).collect()
+    assert(!top.exists(_.getLong(1) == 99L), s"zero vector must never be a top neighbor: ${top.mkString(",")}")
+    assert(top.forall(r => !r.getDouble(2).isNaN), "no NaN similarity may escape")
+    val dups = Ann.nearDupPairs(corpus, minCosine = 0.9, dims = 4).collect()
+    assert(!dups.exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L), "zero vector must not appear as a near-dup")
+  }
+
+  test("hot LSH buckets are thinned to ~cap, not dropped wholesale") {
+    val s = spark
+    import s.implicits._
+    // 64 IDENTICAL vectors: one bucket per table of size 64, far over a cap
+    // of 8. The old cap DROPPED the whole bucket → zero pairs at exactly the
+    // scale the guardrail exists for; thinning keeps ≈cap rows so a sampled
+    // subset of pairs still comes out.
+    val corpus = (0 until 64).map(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "embedding")
+    val pairs = Ann.nearDupPairs(corpus, minCosine = 0.999, nPlanes = 4, nTables = 2, maxBucketSize = 8, dims = 4)
+    val n = pairs.count()
+    assert(n > 0, "over-cap bucket must degrade to sampled recall, not silent emptiness")
+    assert(n <= 2L * 8 * 8, s"thinned bucket must still bound the join output, got $n pairs")
+  }
+
+  test("ANN on an empty corpus fails with a clear dims message, not NoSuchElementException") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Ann.nearDupPairs(empty, 0.9))
+    assert(e.getMessage.contains("pass dims explicitly"))
+    // with dims given, an empty corpus is a valid empty result
+    assert(Ann.nearDupPairs(empty, 0.9, dims = 4).count() == 0)
+  }
+
+  test("empty/whitespace docs count zero tokens; null text is excluded from exact dedup") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "two tokens"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val counts = TextOps.withTokenCounts(docs).select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // split("") yields [''] — unfixed this read as one phantom token; null
+    // text passes through as null (no fabricated count)
+    assert(counts(1L).contains(2) && counts(2L).contains(0) && counts(3L).contains(0), s"got $counts")
+    assert(counts(4L).isEmpty, s"null text must yield null n_tokens: $counts")
+    // md5(null) is null: grouping would declare docs 4 and 5 duplicates of
+    // each other and a keep_id consumer would drop a distinct document
+    val dedup = TextOps.exactDedup(docs).collect()
+    assert(dedup.forall(_.getLong(2) == 1L), s"null-text docs must not merge: ${dedup.mkString(",")}")
+    assert(dedup.length == 3)
+  }
+
+  test("minhash banding uses every signature component (ceil bands, k not divisible)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    // k=30 with rowsPerBand=4: truncating division banded only 28 of 30
+    // components; ceil banding uses all 30 (last band is 2 wide). Identical
+    // docs must still pair; k < rowsPerBand (k=2) must not create the
+    // degenerate descending-sequence band shared by every doc.
+    for (k <- Seq(30, 2)) {
+      val sigs = TextOps.minHashSignatures(TextOps.shingles(docs, 2), k = k)
+      val pairs = TextOps.minHashCandidatePairs(sigs, rowsPerBand = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"k=$k: identical docs must share a band")
+      assert(!pairs.contains((1L, 3L)), s"k=$k: unrelated docs must not pair via a degenerate band")
+    }
+    intercept[IllegalArgumentException](TextOps.minHashCandidatePairs(null, rowsPerBand = 0))
+  }
+
   test("gap-fill modes: locf and linear") {
     val s = spark
     import s.implicits._
