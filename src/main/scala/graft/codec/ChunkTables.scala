@@ -22,7 +22,11 @@ object ChunkTables {
     */
   def pack(points: DataFrame, chunkSeconds: Long = 86400L): DataFrame =
     points
-      .withColumn("chunk_start", col("bucket") - col("bucket") % chunkSeconds)
+      // FLOOR mod, not %: Spark's % takes the dividend's sign, so a
+      // pre-epoch bucket (e.g. -10) would land in the NEXT-higher window
+      // (chunk_start 0, below min_bucket), breaking the chunk-size bound
+      // and the window key for any pre-1970 timestamp
+      .withColumn("chunk_start", col("bucket") - pmod(col("bucket"), lit(chunkSeconds)))
       .groupBy("scope", "metric", "chunk_start")
       .agg(
         sort_array(collect_list(struct(col("bucket"), col("value")))).as("_pts"),

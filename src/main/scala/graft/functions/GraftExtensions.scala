@@ -13,22 +13,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftExtensions {
   // builders shared by the injection below AND the specs (a test registering
   // its own copy would not catch a bug in the injected one)
+
+  /** a wrong SQL argument count is a USER error: raise the same
+    * AnalysisException (WRONG_NUM_ARGS) every built-in produces, not a raw
+    * IllegalArgumentException with an analyzer-internal stack trace
+    */
+  private def requireArity(name: String, expected: Int, children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"
+        ),
+        None
+      )
+
   private[graft] def buildDotProduct(children: Seq[Expression]): Expression = {
-    require(children.length == 2, "dot_product(a, b) takes two array<double> arguments")
+    requireArity("dot_product", 2, children)
     DotProduct(children.head, children(1))
   }
   private[graft] def buildSquaredNorm(children: Seq[Expression]): Expression = {
-    require(children.length == 1, "squared_norm(a) takes one array<double> argument")
+    requireArity("squared_norm", 1, children)
     SquaredNorm(children.head)
   }
   private[graft] def buildCosine(children: Seq[Expression]): Expression = {
-    require(children.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
-    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    requireArity("cosine_similarity", 2, children)
+    import org.apache.spark.sql.catalyst.expressions.{Divide, GreaterThan, If, Literal, Multiply, Sqrt}
     val (a, b) = (children.head, children(1))
-    Divide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
+    // SAME semantics as graft.ann.Ann.cosine, including the zero-norm guard:
+    // an unguarded 0/0 = NaN sorts ABOVE every double in Spark, so a
+    // degenerate embedding would win any SQL top-k and pass any threshold —
+    // zero-norm (or null-element) pairs score -1 on both API surfaces
+    val denom = Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b)))
+    If(GreaterThan(denom, Literal(0.0)), Divide(DotProduct(a, b), denom), Literal(-1.0))
   }
   private[graft] def buildChunkExplode(children: Seq[Expression]): Expression = {
-    require(children.length == 1, "chunk_explode(data) takes one BINARY chunk argument")
+    requireArity("chunk_explode", 1, children)
     ChunkExplode(children.head)
   }
 }
@@ -51,12 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     )
     // cosine_similarity(a, b) — composed from the native expressions, same
-    // semantics as graft.ann.Ann.cosine (ANSI division; zero-norm input is
-    // the caller's error, as in the DataFrame API)
+    // semantics (and zero-norm guard) as graft.ann.Ann.cosine. The info
+    // class names the composing builder, not some other function's class.
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_similarity"),
-        new ExpressionInfo(classOf[DotProduct].getName, "cosine_similarity"),
+        new ExpressionInfo(GraftExtensions.getClass.getName, "cosine_similarity"),
         GraftExtensions.buildCosine _
       )
     )

@@ -19,12 +19,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * where they don't perform).
   *
   * Accumulation order is left-to-right, identical to the fold in the
-  * composable form, so results are bit-identical.
+  * composable form, so results are bit-identical — INCLUDING the null
+  * semantics: a null element or a length mismatch yields NULL exactly like
+  * `aggregate(zip_with(...))` (zip_with null-pads the shorter array and a
+  * null product poisons the fold). Reading nulls as getDouble's zeroed slot
+  * or silently truncating to the shorter length would instead produce a
+  * PLAUSIBLE wrong similarity (e.g. a 384-d query against a 768-d corpus).
   */
 final case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null is also produced for mismatched lengths / null elements, not only
+  // for null children — without this override a non-nullable schema would
+  // let codegen skip the isNull slot entirely
+  override def nullable: Boolean = true
 
   // These are registered as user-facing SQL functions (GraftExtensions), so
   // the type contract must be an analysis error, not runtime garbage:
@@ -37,10 +46,12 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getDouble(i) * ys.getDouble(i)
       i += 1
     }
@@ -53,12 +64,17 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -72,6 +88,9 @@ final case class SquaredNorm(child: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "squared_norm"
+  // null elements yield NULL (matching aggregate(transform(...))) — see
+  // DotProduct's nullable note
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.requireDoubleArrays(prettyName, child.dataType)
@@ -82,6 +101,7 @@ final case class SquaredNorm(child: Expression)
     var i = 0
     val n = xs.numElements()
     while (i < n) {
+      if (xs.isNullAt(i)) return null
       val x = xs.getDouble(i)
       acc += x * x
       i += 1
@@ -99,10 +119,11 @@ final case class SquaredNorm(child: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = $a.getDouble($i);
          |  $acc += $x * $x;
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) ${ev.value} = $acc;
        """.stripMargin
     })
 

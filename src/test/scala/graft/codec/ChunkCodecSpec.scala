@@ -63,4 +63,49 @@ class ChunkCodecSpec extends AnyFunSuite {
     } yield deltas.scanLeft(1000L)(_ + _).toArray
     checkProp(Prop.forAll(gen) { ts => roundtrip(ts, Array.fill(ts.length)(1.5)) })
   }
+
+  test("property: byte-buffered BitWriter streams are identical to the per-bit form") {
+    // the per-bit reference, inlined: the production writer now flushes
+    // whole bytes from a Long accumulator — the stream must not move a bit
+    final class RefWriter {
+      private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var cur = 0; private var n = 0
+      def writeBits(v: Long, w: Int): Unit = {
+        var i = w - 1
+        while (i >= 0) {
+          cur = (cur << 1) | (((v >>> i) & 1L).toInt); n += 1
+          if (n == 8) { bytes += cur.toByte; cur = 0; n = 0 }
+          i -= 1
+        }
+      }
+      def toBytes: Array[Byte] = {
+        val out = bytes.clone(); if (n > 0) out += (cur << (8 - n)).toByte; out.toArray
+      }
+    }
+    val gen = Gen.listOf(for {
+      w <- Gen.choose(1, 64)
+      v <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (v, w))
+    checkProp(Prop.forAll(gen) { tokens =>
+      val fast = new BitWriter
+      val ref = new RefWriter
+      for ((v, w) <- tokens) { fast.writeBits(v, w); ref.writeBits(v, w) }
+      java.util.Arrays.equals(fast.toBytes, ref.toBytes)
+    })
+  }
+
+  test("pack windows pre-epoch buckets into their own (floor) chunk_start") {
+    // % takes the dividend's sign: bucket -10 used to land in chunk_start 0
+    // (ABOVE min_bucket), merging pre- and post-epoch points in one window
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val pts = Seq(("s", "m", -10L, 1.0), ("s", "m", -86400L, 2.0), ("s", "m", 5L, 3.0))
+      .toDF("scope", "metric", "bucket", "value")
+    val chunks = ChunkTables.pack(pts, chunkSeconds = 86400L)
+      .select("chunk_start", "min_bucket", "n_points").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(chunks.toSeq == Seq((-86400L, -86400L, 2L), (0L, 5L, 1L)), chunks.mkString(","))
+    assert(chunks.forall { case (start, mn, _) => mn >= start }, "chunk_start must never exceed min_bucket")
+  }
 }

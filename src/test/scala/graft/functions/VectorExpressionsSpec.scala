@@ -153,4 +153,55 @@ class VectorExpressionsSpec extends SparkTestBase {
     val projLine = p.linesIterator.find(_.contains("dot_product")).getOrElse("")
     assert("""\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined, s"dot_product not codegen'd:\n$p")
   }
+
+  test("null elements and length mismatches yield NULL, matching the zip_with form") {
+    val s = spark
+    import s.implicits._
+    // getDouble on a null slot silently reads 0.0 — before the fix,
+    // dot([1, NULL], [2, 3]) returned a PLAUSIBLE 2.0 while the documented-
+    // equivalent zip_with/aggregate form returns NULL; mismatched lengths
+    // (a 2-d query against a 3-d corpus) truncated instead of erroring
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 2.0)),
+      (3L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    // exercise BOTH paths: codegen (default) and interpreted eval
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val rows = df
+          .select(
+            col("id"),
+            VectorExpressions.dot(col("a"), col("b")).as("d"),
+            VectorExpressions.squaredNorm(col("a")).as("n")
+          )
+          .orderBy("id").collect()
+        assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), s"$cg: null element must poison dot and norm")
+        assert(rows(1).isNullAt(1), s"$cg: length mismatch must yield NULL, not a truncated dot")
+        assert(rows(1).getDouble(2) == 14.0, s"$cg: norm of the well-formed side still computes")
+        assert(rows(2).getDouble(1) == 11.0 && rows(2).getDouble(2) == 5.0, s"$cg: clean rows unaffected")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("SQL cosine_similarity guards zero norms and raises WRONG_NUM_ARGS for bad arity") {
+    val s = spark
+    import s.implicits._
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity_t"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(GraftExtensions.getClass.getName, "cosine_similarity_t"),
+      GraftExtensions.buildCosine _
+    )
+    Seq((Array(0.0, 0.0), Array(1.0, 2.0)), (Array(3.0, 4.0), Array(3.0, 4.0)))
+      .toDF("a", "b").createOrReplaceTempView("v_cos")
+    val sims = spark.sql("SELECT cosine_similarity_t(a, b) AS sim FROM v_cos ORDER BY sim").collect().map(_.getDouble(0))
+    // zero-norm = -1 (never NaN — NaN would sort ABOVE 1.0 and win top-k)
+    assert(sims(0) == -1.0 && math.abs(sims(1) - 1.0) < 1e-12, sims.mkString(","))
+    // wrong arity is a USER error → AnalysisException, like every built-in
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT cosine_similarity_t(a) FROM v_cos").collect()
+    )
+    assert(e.getMessage.contains("parameters"), e.getMessage)
+  }
 }
