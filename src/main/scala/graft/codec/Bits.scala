@@ -40,23 +40,32 @@ final class BitWriter {
   }
 }
 
+/** Reader consumes up to a whole byte per loop iteration (the round-1 form
+  * paid a bounds check + two shifts per BIT — 64 iterations per raw token on
+  * the chunk_explode decode path). Past-end reads throw AIOOBE at exactly
+  * the same bit position as the per-bit form: the first iteration touching
+  * an out-of-range byte.
+  */
 final class BitReader(bytes: Array[Byte]) {
-  private var pos = 0
+  private var pos = 0 // bit position
 
   def readBit(): Boolean = {
-    val byteIdx = pos >>> 3
-    val bitIdx = 7 - (pos & 7)
+    val b = (bytes(pos >>> 3) >>> (7 - (pos & 7))) & 1
     pos += 1
-    ((bytes(byteIdx) >>> bitIdx) & 1) == 1
+    b == 1
   }
 
-  /** read n bits MSB-first into the low bits of a Long (unsigned) */
+  /** read n bits MSB-first into the low bits of a Long (unsigned), n in 0..64 */
   def readBits(n: Int): Long = {
     var v = 0L
-    var i = 0
-    while (i < n) {
-      v = (v << 1) | (if (readBit()) 1L else 0L)
-      i += 1
+    var remaining = n
+    while (remaining > 0) {
+      val avail = 8 - (pos & 7) // bits left in the current byte
+      val take = if (avail < remaining) avail else remaining
+      val cur = bytes(pos >>> 3) & 0xff
+      v = (v << take) | ((cur >>> (avail - take)) & ((1 << take) - 1))
+      pos += take
+      remaining -= take
     }
     v
   }

@@ -94,6 +94,35 @@ class ChunkCodecSpec extends AnyFunSuite {
     })
   }
 
+  test("property: byte-at-a-time BitReader decodes identically to the per-bit form") {
+    // the per-bit reference: production readBits now consumes up to a byte
+    // per iteration — every token of every width must read the same value
+    // from the same stream, leaving the cursor at the same bit
+    final class RefReader(bytes: Array[Byte]) {
+      private var pos = 0
+      def readBits(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) {
+          v = (v << 1) | (((bytes(pos >>> 3) >>> (7 - (pos & 7))) & 1).toLong)
+          pos += 1; i += 1
+        }
+        v
+      }
+    }
+    val gen = Gen.listOf(for {
+      w <- Gen.choose(1, 64)
+      v <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (v, w))
+    checkProp(Prop.forAll(gen) { tokens =>
+      val w = new BitWriter
+      for ((v, width) <- tokens) w.writeBits(v, width)
+      val bytes = w.toBytes
+      val fast = new BitReader(bytes)
+      val ref = new RefReader(bytes)
+      tokens.forall { case (_, width) => fast.readBits(width) == ref.readBits(width) }
+    })
+  }
+
   test("pack windows pre-epoch buckets into their own (floor) chunk_start") {
     // % takes the dividend's sign: bucket -10 used to land in chunk_start 0
     // (ABOVE min_bucket), merging pre- and post-epoch points in one window
