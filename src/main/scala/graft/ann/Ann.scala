@@ -35,12 +35,23 @@ object Ann {
     * ZERO-NORM guard: a degenerate (all-zeros) embedding makes the division
     * 0/0 = NaN, and Spark orders NaN ABOVE every double — an unguarded NaN
     * would take rank 1 in every top-k window and pass every `sim >=
-    * threshold` filter. Zero-norm pairs score -1 (never a neighbor) instead.
+    * threshold` filter. Zero-norm pairs score -1 (never a neighbor) instead,
+    * via nanvl rather than a `when` on the denominator: Cauchy-Schwarz gives
+    * |dot| ≤ √(‖a‖²·‖b‖²), so denom = 0 forces dot = 0 and the quotient is
+    * NaN exactly in the degenerate case — and a `when` duplicates the two
+    * squared_norm calls across predicate and value (codegen subexpression
+    * elimination does NOT hoist into CASE branches; measured ~35% of q26's
+    * pair-scoring time). Under ANSI mode (the Spark 4 default) a plain
+    * double `/ 0` THROWS instead of yielding NaN, so the quotient goes
+    * through try_divide (NULL on a zero denominator, NaN untouched);
+    * nanvl maps NaN inputs and coalesce maps the NULLs (zero norms, null
+    * embeddings/elements) — all degenerate pairs land on -1, matching the
+    * SQL cosine_similarity surface, with each norm still computed once.
     */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.VectorExpressions.{dot, squaredNorm}
-    val denom = sqrt(squaredNorm(a)) * sqrt(squaredNorm(b))
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(-1.0))
+    val quot = try_divide(dot(a, b), sqrt(squaredNorm(a)) * sqrt(squaredNorm(b)))
+    coalesce(nanvl(quot, lit(-1.0)), lit(-1.0))
   }
 
   /** brute-force top-k: every query row against the full corpus.
@@ -158,7 +169,15 @@ object Ann {
       maxBucketSize: Int = 1024,
       dims: Int = 0
   ): DataFrame = {
+    // The explicit repartition on the join key is load-bearing: both self-
+    // join sides are the SAME plan, so the shuffle is computed once and the
+    // other side reads a ReusedExchange — without it each side (and the
+    // census) re-runs the scan + nTables·nPlanes plane dot products per row
+    // (4 full sweeps, measured 4–6× slower at sf0.1). The shuffled frame is
+    // the THINNED one, bounded by |buckets|·cap ≈ nTables·2^nPlanes·cap rows
+    // at ANY corpus size, so the exchange itself stays small at 100 TB.
     val bucketed = bucketedCapped(corpus, nPlanes, nTables, resolveDims(corpus, dims), maxBucketSize)
+      .repartition(col("t"), col("b"))
     bucketed
       .as("a")
       .join(
