@@ -38,21 +38,13 @@ object Ann {
     * threshold` filter. Zero-norm pairs score -1 (never a neighbor) instead,
     * via nanvl rather than a `when` on the denominator: Cauchy-Schwarz gives
     * |dot| ≤ √(‖a‖²·‖b‖²), so denom = 0 forces dot = 0 and the quotient is
-    * NaN exactly in the degenerate case — and a `when` duplicates the two
-    * squared_norm calls across predicate and value (codegen subexpression
-    * elimination does NOT hoist into CASE branches; measured ~35% of q26's
-    * pair-scoring time). Under ANSI mode (the Spark 4 default) a plain
-    * double `/ 0` THROWS instead of yielding NaN, so the quotient goes
-    * through try_divide (NULL on a zero denominator, NaN untouched);
-    * nanvl maps NaN inputs and coalesce maps the NULLs (zero norms, null
-    * embeddings/elements) — all degenerate pairs land on -1, matching the
-    * SQL cosine_similarity surface, with each norm still computed once.
+    * NaN exactly in the degenerate case. The guarded tree itself lives in
+    * VectorExpressions.cosine — the SAME tree backs the SQL
+    * cosine_similarity function, so the two surfaces cannot diverge; see
+    * its scaladoc for the try_divide/nanvl/coalesce mechanics (ANSI-safe,
+    * each norm evaluated once).
     */
-  def cosine(a: Column, b: Column): Column = {
-    import graft.functions.VectorExpressions.{dot, squaredNorm}
-    val quot = try_divide(dot(a, b), sqrt(squaredNorm(a)) * sqrt(squaredNorm(b)))
-    coalesce(nanvl(quot, lit(-1.0)), lit(-1.0))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
 
   /** brute-force top-k: every query row against the full corpus.
     * queries is expected to be small → broadcast, corpus streams.

@@ -41,14 +41,12 @@ object GraftExtensions {
   }
   private[graft] def buildCosine(children: Seq[Expression]): Expression = {
     requireArity("cosine_similarity", 2, children)
-    import org.apache.spark.sql.catalyst.expressions.{Divide, GreaterThan, If, Literal, Multiply, Sqrt}
-    val (a, b) = (children.head, children(1))
-    // SAME semantics as graft.ann.Ann.cosine, including the zero-norm guard:
-    // an unguarded 0/0 = NaN sorts ABOVE every double in Spark, so a
-    // degenerate embedding would win any SQL top-k and pass any threshold —
-    // zero-norm (or null-element) pairs score -1 on both API surfaces
-    val denom = Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b)))
-    If(GreaterThan(denom, Literal(0.0)), Divide(DotProduct(a, b), denom), Literal(-1.0))
+    // literally the SAME Catalyst tree as the DataFrame surface (Ann.cosine
+    // → VectorExpressions.cosine → cosineExpr) — a hand-built copy here
+    // once diverged on NaN elements (denom = NaN passes a `denom > 0` check
+    // under Spark's NaN-high ordering, so NaN leaked out and won every SQL
+    // top-k) and paid each squared_norm twice
+    VectorExpressions.cosineExpr(children.head, children(1))
   }
   private[graft] def buildChunkExplode(children: Seq[Expression]): Expression = {
     requireArity("chunk_explode", 1, children)

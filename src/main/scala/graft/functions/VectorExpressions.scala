@@ -145,4 +145,31 @@ object VectorExpressions {
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def squaredNorm(a: Column): Column =
     GraftColumnBridge.column(SquaredNorm(GraftColumnBridge.expression(a)))
+
+  /** guarded cosine similarity — the ONE tree both API surfaces use
+    * (Ann.cosine delegates here; the SQL cosine_similarity builder bridges
+    * this Column back to an Expression), so the DataFrame and SQL functions
+    * can never diverge. Every degenerate pair — zero norm (0/0 would be NaN,
+    * which Spark sorts ABOVE all doubles), NaN/Inf elements, null arrays,
+    * null elements, mismatched lengths — lands on -1: never a neighbor,
+    * never a top-k winner. try_divide (not `/`) because ANSI mode throws on
+    * a zero double divisor; nanvl maps NaN, coalesce maps the NULLs. Each
+    * squared_norm is evaluated once — a `when(denom > 0, ...)` guard would
+    * evaluate both norms twice (codegen subexpression elimination does not
+    * hoist into CASE branches).
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(cosineExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** the shared Catalyst tree behind both cosine surfaces. Built from
+    * resolved expression classes, not `functions.*` Columns: a Column built
+    * from functions.* is an UNRESOLVED ColumnNode tree, and bridging one
+    * into a SQL FunctionBuilder hands the analyzer an Unevaluable
+    * ColumnNodeExpression that dies at codegen.
+    */
+  private[graft] def cosineExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, Multiply, NaNvl, Sqrt, TryDivide}
+    val quot = new TryDivide(DotProduct(a, b), Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b))))
+    Coalesce(Seq(NaNvl(quot, Literal(-1.0)), Literal(-1.0)))
+  }
 }

@@ -123,18 +123,4 @@ class ChunkCodecSpec extends AnyFunSuite {
     })
   }
 
-  test("pack windows pre-epoch buckets into their own (floor) chunk_start") {
-    // % takes the dividend's sign: bucket -10 used to land in chunk_start 0
-    // (ABOVE min_bucket), merging pre- and post-epoch points in one window
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2").config("spark.ui.enabled", "false").getOrCreate()
-    import spark.implicits._
-    val pts = Seq(("s", "m", -10L, 1.0), ("s", "m", -86400L, 2.0), ("s", "m", 5L, 3.0))
-      .toDF("scope", "metric", "bucket", "value")
-    val chunks = ChunkTables.pack(pts, chunkSeconds = 86400L)
-      .select("chunk_start", "min_bucket", "n_points").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    assert(chunks.toSeq == Seq((-86400L, -86400L, 2L), (0L, 5L, 1L)), chunks.mkString(","))
-    assert(chunks.forall { case (start, mn, _) => mn >= start }, "chunk_start must never exceed min_bucket")
-  }
 }

@@ -160,28 +160,46 @@ class VectorExpressionsSpec extends SparkTestBase {
     // getDouble on a null slot silently reads 0.0 — before the fix,
     // dot([1, NULL], [2, 3]) returned a PLAUSIBLE 2.0 while the documented-
     // equivalent zip_with/aggregate form returns NULL; mismatched lengths
-    // (a 2-d query against a 3-d corpus) truncated instead of erroring
-    val df = Seq(
+    // (a 2-d query against a 3-d corpus) truncated instead of erroring.
+    // MATERIALIZE via parquet: a Seq.toDF LocalRelation is folded by
+    // ConvertToLocalRelation through an InterpretedMutableProjection on the
+    // driver, so the doGenCode branches would never run (and
+    // codegen.factoryMode doesn't gate WholeStageCodegen at all)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_null").toString
+    Seq(
       (1L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)),
       (2L, Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 2.0)),
       (3L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0))
-    ).toDF("id", "a", "b")
-    // exercise BOTH paths: codegen (default) and interpreted eval
-    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
-      spark.conf.set("spark.sql.codegen.factoryMode", cg)
-      try {
-        val rows = df
-          .select(
-            col("id"),
-            VectorExpressions.dot(col("a"), col("b")).as("d"),
-            VectorExpressions.squaredNorm(col("a")).as("n")
-          )
-          .orderBy("id").collect()
-        assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), s"$cg: null element must poison dot and norm")
-        assert(rows(1).isNullAt(1), s"$cg: length mismatch must yield NULL, not a truncated dot")
-        assert(rows(1).getDouble(2) == 14.0, s"$cg: norm of the well-formed side still computes")
-        assert(rows(2).getDouble(1) == 11.0 && rows(2).getDouble(2) == 5.0, s"$cg: clean rows unaffected")
-      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    ).toDF("id", "a", "b").write.parquet(s"$dir/v")
+    val df = spark.read.parquet(s"$dir/v")
+    def check(leg: String): Unit = {
+      val out = df.select(
+        col("id"),
+        VectorExpressions.dot(col("a"), col("b")).as("d"),
+        VectorExpressions.squaredNorm(col("a")).as("n")
+      )
+      val rows = out.orderBy("id").collect()
+      assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), s"$leg: null element must poison dot and norm")
+      assert(rows(1).isNullAt(1), s"$leg: length mismatch must yield NULL, not a truncated dot")
+      assert(rows(1).getDouble(2) == 14.0, s"$leg: norm of the well-formed side still computes")
+      assert(rows(2).getDouble(1) == 11.0 && rows(2).getDouble(2) == 5.0, s"$leg: clean rows unaffected")
+      val projLine = out.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("dot_product")).getOrElse("")
+      val inCodegenSpan = """\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined
+      if (leg == "codegen")
+        assert(inCodegenSpan, s"codegen leg must run the generated path: $projLine")
+      else
+        assert(!inCodegenSpan, s"interpreted leg must NOT be whole-stage codegen'd: $projLine")
+    }
+    check("codegen") // default session config: whole-stage codegen over the parquet scan
+    // interpreted leg: disable whole-stage AND force the interpreted
+    // projection factory so nullSafeEval is what actually executes
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check("interpreted")
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
 
@@ -193,11 +211,17 @@ class VectorExpressionsSpec extends SparkTestBase {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(GraftExtensions.getClass.getName, "cosine_similarity_t"),
       GraftExtensions.buildCosine _
     )
-    Seq((Array(0.0, 0.0), Array(1.0, 2.0)), (Array(3.0, 4.0), Array(3.0, 4.0)))
-      .toDF("a", "b").createOrReplaceTempView("v_cos")
+    Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      // NaN ELEMENT: the old hand-built If-guard leaked NaN here (NaN denom
+      // passes `denom > 0` under Spark's NaN-high ordering) — NaN then wins
+      // every ORDER BY sim DESC, the exact failure the guard exists for
+      (Array(Double.NaN, 1.0), Array(1.0, 2.0)),
+      (Array(3.0, 4.0), Array(3.0, 4.0))
+    ).toDF("a", "b").createOrReplaceTempView("v_cos")
     val sims = spark.sql("SELECT cosine_similarity_t(a, b) AS sim FROM v_cos ORDER BY sim").collect().map(_.getDouble(0))
-    // zero-norm = -1 (never NaN — NaN would sort ABOVE 1.0 and win top-k)
-    assert(sims(0) == -1.0 && math.abs(sims(1) - 1.0) < 1e-12, sims.mkString(","))
+    // zero-norm AND NaN-element = -1 (never NaN, which sorts ABOVE 1.0)
+    assert(sims.toSeq.take(2) == Seq(-1.0, -1.0) && math.abs(sims(2) - 1.0) < 1e-12, sims.mkString(","))
     // wrong arity is a USER error → AnalysisException, like every built-in
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT cosine_similarity_t(a) FROM v_cos").collect()

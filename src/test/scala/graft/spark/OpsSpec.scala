@@ -36,6 +36,20 @@ class OpsSpec extends SparkTestBase {
     assert(bytes < points.count() * 12, s"$bytes bytes for ${points.count()} points")
   }
 
+  test("pack windows pre-epoch buckets into their own (floor) chunk_start") {
+    val s = spark
+    import s.implicits._
+    // % takes the dividend's sign: bucket -10 used to land in chunk_start 0
+    // (ABOVE min_bucket), merging pre- and post-epoch points in one window
+    val pts = Seq(("s", "m", -10L, 1.0), ("s", "m", -86400L, 2.0), ("s", "m", 5L, 3.0))
+      .toDF("scope", "metric", "bucket", "value")
+    val chunks = ChunkTables.pack(pts, chunkSeconds = 86400L)
+      .select("chunk_start", "min_bucket", "n_points").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(chunks.toSeq == Seq((-86400L, -86400L, 2L), (0L, 5L, 1L)), chunks.mkString(","))
+    assert(chunks.forall { case (start, mn, _) => mn >= start }, "chunk_start must never exceed min_bucket")
+  }
+
   test("minhash LSH candidates catch planted near-duplicates") {
     val sigs = TextOps.minHashSignatures(TextOps.shingles(docs, 3), 32)
     val pairs = TextOps.minHashCandidatePairs(sigs, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
