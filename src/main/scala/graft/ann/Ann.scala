@@ -32,17 +32,16 @@ object Ann {
     * zip_with/aggregate formulation pays the lambda interpreter per element
     * per candidate; accumulation order is identical, results bit-equal.
     *
-    * ZERO-NORM guard: a degenerate (all-zeros) embedding makes the division
-    * 0/0 = NaN, and Spark orders NaN ABOVE every double — an unguarded NaN
-    * would take rank 1 in every top-k window and pass every `sim >=
-    * threshold` filter. Zero-norm pairs score -1 (never a neighbor) instead,
-    * via nanvl rather than a `when` on the denominator: Cauchy-Schwarz gives
-    * |dot| ≤ √(‖a‖²·‖b‖²), so denom = 0 forces dot = 0 and the quotient is
-    * NaN exactly in the degenerate case. The guarded tree itself lives in
-    * VectorExpressions.cosine — the SAME tree backs the SQL
-    * cosine_similarity function, so the two surfaces cannot diverge; see
-    * its scaladoc for the try_divide/nanvl/coalesce mechanics (ANSI-safe,
-    * each norm evaluated once).
+    * DEGENERATE-INPUT guard: an unguarded 0/0 = NaN sorts ABOVE every
+    * double in Spark, so a zero-norm (failed-encoder) embedding would take
+    * rank 1 in every top-k window and pass every `sim >= threshold` filter.
+    * Every degenerate pair scores -1 (never a neighbor): a zero denominator
+    * yields NULL from try_divide (ANSI `/ 0` on doubles THROWS — try_divide,
+    * not nanvl, is what covers zero norms) and coalesce maps it to -1, while
+    * NaN/Inf ELEMENTS surface as a NaN quotient that nanvl maps to -1. The
+    * guarded tree itself lives in VectorExpressions.cosine — the SAME tree
+    * backs the SQL cosine_similarity function, so the two surfaces cannot
+    * diverge — with each norm evaluated once.
     */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
 

@@ -126,6 +126,18 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(df.select(VectorExpressions.squaredNorm(col("ad"))).head.getDouble(0) == 77.0)
   }
 
+  /** asserts the EXECUTED query's plan carries (or lacks) a WholeStageCodegen
+    * span on the line computing dot_product — the '*(n)' prefix in the plan
+    * string. Shared by the codegen-shape tests so the idiom can't drift.
+    */
+  private def assertCodegenSpan(out: org.apache.spark.sql.DataFrame, expected: Boolean, ctx: String): Unit = {
+    val p = out.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    val inSpan = """\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined
+    if (expected) assert(inSpan, s"$ctx: dot_product not codegen'd:\n$p")
+    else assert(!inSpan, s"$ctx: must NOT be whole-stage codegen'd: $projLine")
+  }
+
   test("null-safe and codegen'd") {
     val s = spark
     import s.implicits._
@@ -146,12 +158,7 @@ class VectorExpressionsSpec extends SparkTestBase {
     val got = out.collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
     // id=k: a=[k,k+1,k+2,k+3], b=[0,2,4,6] → dot = 2(k+1)+4(k+2)+6(k+3) = 12k+28
     assert(got == Seq(28.0, null, 52.0, 64.0), got.toString)
-    // the '*(n)' prefix marks a WholeStageCodegen span in the plan string —
-    // the projection computing dot_product must carry it (an interpreted
-    // CodegenFallback expression would strip it)
-    val p = out.queryExecution.executedPlan.toString
-    val projLine = p.linesIterator.find(_.contains("dot_product")).getOrElse("")
-    assert("""\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined, s"dot_product not codegen'd:\n$p")
+    assertCodegenSpan(out, expected = true, "null-safe")
   }
 
   test("null elements and length mismatches yield NULL, matching the zip_with form") {
@@ -173,25 +180,30 @@ class VectorExpressionsSpec extends SparkTestBase {
     ).toDF("id", "a", "b").write.parquet(s"$dir/v")
     val df = spark.read.parquet(s"$dir/v")
     def check(leg: String): Unit = {
+      // orderBy is part of the SAME query whose plan is asserted — checking
+      // a different DataFrame's plan than the one executed proves nothing
       val out = df.select(
         col("id"),
         VectorExpressions.dot(col("a"), col("b")).as("d"),
         VectorExpressions.squaredNorm(col("a")).as("n")
-      )
-      val rows = out.orderBy("id").collect()
+      ).orderBy("id")
+      val rows = out.collect()
       assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), s"$leg: null element must poison dot and norm")
       assert(rows(1).isNullAt(1), s"$leg: length mismatch must yield NULL, not a truncated dot")
       assert(rows(1).getDouble(2) == 14.0, s"$leg: norm of the well-formed side still computes")
       assert(rows(2).getDouble(1) == 11.0 && rows(2).getDouble(2) == 5.0, s"$leg: clean rows unaffected")
-      val projLine = out.queryExecution.executedPlan.toString.linesIterator
-        .find(_.contains("dot_product")).getOrElse("")
-      val inCodegenSpan = """\*\(\d+\) Project""".r.findFirstIn(projLine).isDefined
-      if (leg == "codegen")
-        assert(inCodegenSpan, s"codegen leg must run the generated path: $projLine")
-      else
-        assert(!inCodegenSpan, s"interpreted leg must NOT be whole-stage codegen'd: $projLine")
+      assertCodegenSpan(out, expected = leg == "codegen", leg)
     }
-    check("codegen") // default session config: whole-stage codegen over the parquet scan
+    // codegen leg: fallback DISABLED — with the default
+    // spark.sql.codegen.fallback=true a broken generated body would be
+    // silently executed interpreted and this test would stay green
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try check("codegen")
+    finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
     // interpreted leg: disable whole-stage AND force the interpreted
     // projection factory so nullSafeEval is what actually executes
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
