@@ -128,8 +128,27 @@ object Ann {
     * aggregate + broadcast join (≤ nTables·2^nPlanes rows by construction),
     * NOT a window — a window's partitionBy(t, b) would funnel the whole
     * corpus, embeddings included, through ≤ |buckets| tasks.
+    *
+    * The thinning hash is salted with (t, b): an unsalted hash of vec_id
+    * alone picks the SAME survivors in every table (a vector whose hash
+    * misses the modulus is thinned out of all nTables buckets at once),
+    * which silently destroys the multi-table recall guarantee — per-bucket
+    * salting makes survival independent across tables, so a hot-bucket pair
+    * still surfaces in SOME table with the probability LSH promises.
+    *
+    * nPlanes/nTables are bounded so the census stays genuinely
+    * broadcastable: it has up to nTables·2^nPlanes rows, and a caller-
+    * chosen nPlanes of, say, 24 would ship hundreds of millions of census
+    * rows to the driver and every executor — the forced broadcast must not
+    * become its own OOM at exactly the scale the cap exists for.
     */
-  private def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
+  private[graft] def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, s"nPlanes must be in 1..16, got $nPlanes")
+    require(nTables >= 1, s"nTables must be positive, got $nTables")
+    require(
+      (nTables.toLong << nPlanes) <= (1L << 20),
+      s"nTables * 2^nPlanes = ${nTables.toLong << nPlanes} bucket-census rows would not stay broadcastable (limit 2^20)"
+    )
     val tables = array(
       (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes, dims).as("b"))): _*
     )
@@ -141,7 +160,7 @@ object Ann {
       .join(broadcast(sizes), Seq("t", "b"))
       .where(
         col("_bsz") <= maxBucketSize ||
-          pmod(xxhash64(col("vec_id")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
+          pmod(xxhash64(col("vec_id"), col("t"), col("b")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
       )
       .drop("_bsz")
   }

@@ -146,6 +146,11 @@ object TextOps {
     // degenerate band shared by every doc. The last band may be narrower —
     // slice past the array end just yields the shorter tail.
     val banded = signatures
+      // an EMPTY caller-supplied sig makes the band sequence(0, -1) DESCEND
+      // to [0, -1]: two empty-slice bands whose band_sig every empty-sig doc
+      // shares — all such docs would become candidate pairs of each other
+      // (minHashSignatures never emits empty sigs, but this entry is public)
+      .where(size(col("sig")) > 0)
       .select(
         col("doc_id"),
         posexplode(
@@ -162,15 +167,24 @@ object TextOps {
       .select(col("doc_id"), col("band"), xxhash64(col("band"), col("band_sig")).as("bucket"))
     // hot-bucket cap: a bucket of B docs emits B²/2 pairs — at corpus scale a
     // degenerate bucket (e.g. boilerplate-identical band signatures) is a
-    // cross-product bomb, and pairs inside a huge bucket are the least
-    // informative candidates. Dropping buckets > maxBucketSize bounds the
-    // join output by |buckets|·cap² — linear in the corpus. The window and
-    // the self-join share the (band, bucket) partitioning, so the cap costs
-    // no extra exchange.
+    // cross-product bomb. Over-cap buckets are THINNED to ≈cap docs by a
+    // deterministic per-(band, bucket)-salted hash, not dropped wholesale:
+    // an over-cap bucket IS the strongest dedup signal there is (identical
+    // band signatures, e.g. 1000 copies of one boilerplate doc), and every
+    // band of such a clone group trips the cap — dropping would return zero
+    // candidates for exactly the most-duplicated documents. Sampled-bucket
+    // output stays bounded by |buckets|·cap². Unlike the ANN census (a
+    // bounded bucket-id space that would funnel a window), the key here is
+    // the 64-bit band-signature hash — high-cardinality by construction —
+    // so the count runs as a window over the SAME (band, bucket) exchange
+    // the self-join needs: the cap costs no extra sweep of the corpus.
     val wB = Window.partitionBy("band", "bucket")
     val capped = banded
       .withColumn("_bsz", count(lit(1)).over(wB))
-      .where(col("_bsz") <= maxBucketSize)
+      .where(
+        col("_bsz") <= maxBucketSize ||
+          pmod(xxhash64(col("doc_id"), col("band"), col("bucket")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
+      )
       .drop("_bsz")
     val a = capped.as("a")
     val b = capped.as("b")
@@ -314,11 +328,20 @@ object TextOps {
     * exploded every token into 64 bit-rows (64× shuffle volume); votes as
     * parallel aggregate columns keep the shuffle at docs × 64 longs with
     * map-side partial aggregation doing the token work in place.
+    *
+    * Output has EXACTLY one row per input doc: a token-less (empty/
+    * whitespace/null-text) doc gets simhash 0, via explode_outer — a plain
+    * explode would silently drop the row, and a consumer joining simhashes
+    * back to documents would lose those doc_ids with no warning. The
+    * placeholder token's hash is explicitly NULLed (xxhash64 of a null
+    * input returns the SEED, which would masquerade as a real token); a
+    * NULL hash votes -1 on every bit, so all bits resolve to 0 — no join
+    * needed to restore the rows.
     */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("_tok"))
-      .select(col("doc_id"), xxhash64(col("_tok")).as("_h"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("_tok"))
+      .select(col("doc_id"), when(col("_tok").isNotNull, xxhash64(col("_tok"))).as("_h"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$b")
     }

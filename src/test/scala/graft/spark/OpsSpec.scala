@@ -178,6 +178,63 @@ class OpsSpec extends SparkTestBase {
     assert(n <= 2L * 8 * 8, s"thinned bucket must still bound the join output, got $n pairs")
   }
 
+  test("hot-bucket thinning survivors are independent across LSH tables") {
+    val s = spark
+    import s.implicits._
+    // 64 identical vectors land in ONE bucket per table. An UNSALTED
+    // thinning hash (vec_id only) picks the same survivors in every table:
+    // a vector thinned from one table is thinned from ALL of them, so a
+    // near-dup pair of two unlucky ids is deterministically invisible no
+    // matter how many tables — the multi-table recall guarantee is gone.
+    // Per-(t, b)-salted hashing makes survival independent per table.
+    val corpus = (0 until 64).map(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "embedding")
+    val survivors = Ann
+      .bucketedCapped(corpus, nPlanes = 4, nTables = 3, dims = 4, maxBucketSize = 8)
+      .select("t", "vec_id").collect()
+      .groupBy(_.getInt(0)).map { case (t, rows) => t -> rows.map(_.getLong(1)).toSet }
+    assert(survivors.size == 3, s"all tables must keep some survivors: ${survivors.keySet}")
+    assert(survivors.values.forall(_.nonEmpty), "thinning must never empty a bucket's survivor set")
+    assert(survivors.values.toSet.size > 1, s"survivor sets must differ across tables, got $survivors")
+    // union coverage: with independent per-table survival, more distinct ids
+    // surface across the 3 tables than any single table keeps
+    val union = survivors.values.reduce(_ ++ _)
+    assert(survivors.values.forall(t => union.size > t.size), s"union ${union.size} vs ${survivors.values.map(_.size)}")
+  }
+
+  test("minhash over-cap buckets are thinned (clone groups stay visible) and empty sigs are inert") {
+    val s = spark
+    import s.implicits._
+    // 40 IDENTICAL signatures: every band bucket has 40 docs, far over cap
+    // 8 — the old wholesale drop returned ZERO candidates for exactly the
+    // most-duplicated documents (257+ copies of one boilerplate doc at the
+    // default cap). Thinning keeps ≈cap docs per bucket → sampled pairs.
+    val sig = Array.tabulate(8)(i => (i * 17L + 3) % 97)
+    val clones = (0 until 40).map(i => (i.toLong, sig)).toDF("doc_id", "sig")
+    val pairs = TextOps.minHashCandidatePairs(clones, rowsPerBand = 4, maxBucketSize = 8)
+    val n = pairs.count()
+    assert(n > 0, "over-cap clone bucket must degrade to sampled pairs, not silent emptiness")
+    assert(n <= 2L * 8 * 8, s"thinned buckets must still bound the pair output, got $n")
+    // an EMPTY caller-supplied sig used to band as sequence(0,-1) → two
+    // empty-slice bands shared by every empty-sig doc → all of them became
+    // candidate pairs of each other
+    val empties = Seq((100L, Array.empty[Long]), (101L, Array.empty[Long]), (0L, sig)).toDF("doc_id", "sig")
+    val ep = TextOps.minHashCandidatePairs(empties, rowsPerBand = 4, maxBucketSize = 8).collect()
+    assert(ep.isEmpty, s"empty sigs must produce no candidates: ${ep.mkString(",")}")
+  }
+
+  test("simHash emits exactly one row per doc; token-less docs hash to 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextOps.simHash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a plain explode dropped token-less docs from the output entirely — a
+    // consumer joining simhashes back to documents lost those doc_ids
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), s"one row per doc required, got ${rows.keySet}")
+    assert(rows(2L) == 0L && rows(3L) == 0L && rows(4L) == 0L, s"token-less docs must hash to 0: $rows")
+    assert(rows(1L) != 0L, "a real doc must not collide with the empty hash")
+  }
+
   test("ANN on an empty corpus fails with a clear dims message, not NoSuchElementException") {
     val s = spark
     import s.implicits._
