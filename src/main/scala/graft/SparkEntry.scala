@@ -979,16 +979,21 @@ object SparkEntry {
     // q20: brute-force cosine is deterministic double math — DuckDB's
     // list_dot_product in the same dot/(√·√) shape matches bit-for-bit
     // (verified mismatch-free at sf0.01 before landing). The CASE mirrors
-    // the engine's zero-norm -1 guard on the IDENTICAL sqrt-product
-    // denominator (a raw norm product could underflow to 0 for denormal
-    // norms where the sqrt product doesn't) so the oracle keeps covering a
-    // fixture that gains a degenerate vector; on clean data the guard
-    // changes no value
+    // the engine's FULL degenerate guard (coalesce∘nanvl∘try_divide → -1):
+    // DuckDB double /0 yields NULL exactly where try_divide does, so
+    // "quotient IS NULL OR isnan(quotient) → -1" covers zero norms AND
+    // NaN/Inf elements alike, keeping the oracle valid for a fixture that
+    // ever gains a degenerate vector; on clean data the guard changes no
+    // value. The LSH cap in q21/q26 remains mirrored as a plain DROP —
+    // the engine's salted THINNING needs Spark's xxhash64, which DuckDB
+    // lacks (the standing non-oracle-able class); equivalent as long as
+    // the fixture keeps every bucket under cap, which the pinned row
+    // counts would catch changing
     "q20_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |        CASE WHEN sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)) > 0 THEN list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) ELSE -1 END AS sim
+        |        CASE WHEN list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) IS NULL OR isnan(list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)))) THEN -1 ELSE list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) END AS sim
         |      FROM q, e WHERE e.vec_id <> q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -1056,7 +1061,7 @@ object SparkEntry {
         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 4096),
         |qb AS (SELECT vec_id AS query_id, emb AS qe, t, b FROM bt WHERE vec_id < 5),
         |s AS (SELECT query_id, c.vec_id AS neighbor_id,
-        |        CASE WHEN sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)) > 0 THEN list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) ELSE -1 END AS sim
+        |        CASE WHEN list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) IS NULL OR isnan(list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)))) THEN -1 ELSE list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) END AS sim
         |      FROM qb JOIN capped c USING (t, b) WHERE c.vec_id <> qb.query_id),
         |g AS (SELECT query_id, neighbor_id, max(sim) AS sim FROM s GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id,
@@ -1072,7 +1077,7 @@ object SparkEntry {
         |capped AS (SELECT vec_id, emb, t, b FROM (
         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 1024),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) > 0 THEN list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) ELSE -1 END AS sim
+        |        CASE WHEN list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) IS NULL OR isnan(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) THEN -1 ELSE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) END AS sim
         |      FROM capped a JOIN capped b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
         |g AS (SELECT id_a, id_b, max(sim) AS sim FROM p GROUP BY 1, 2)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM g WHERE sim >= 0.4""".stripMargin,

@@ -142,13 +142,24 @@ object Ann {
     * rows to the driver and every executor — the forced broadcast must not
     * become its own OOM at exactly the scale the cap exists for.
     */
-  private[graft] def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 16, s"nPlanes must be in 1..16, got $nPlanes")
+  /** argument validation shared by the public LSH entry points — called
+    * BEFORE resolveDims so an invalid call fails from the arguments alone
+    * instead of first paying a dims-inference Spark job
+    */
+  private def requireLshParams(nPlanes: Int, nTables: Int, maxBucketSize: Int): Unit = {
+    // nPlanes ≤ 20 is IMPLIED by the census bound (nTables ≥ 1), stated
+    // first so the shift below cannot wrap
+    require(nPlanes >= 1 && nPlanes <= 20, s"nPlanes must be in 1..20, got $nPlanes")
     require(nTables >= 1, s"nTables must be positive, got $nTables")
     require(
       (nTables.toLong << nPlanes) <= (1L << 20),
       s"nTables * 2^nPlanes = ${nTables.toLong << nPlanes} bucket-census rows would not stay broadcastable (limit 2^20)"
     )
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+  }
+
+  private[graft] def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
+    requireLshParams(nPlanes, nTables, maxBucketSize)
     val tables = array(
       (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes, dims).as("b"))): _*
     )
@@ -158,10 +169,7 @@ object Ann {
     val sizes = bucketed.groupBy("t", "b").agg(count(lit(1)).as("_bsz"))
     bucketed
       .join(broadcast(sizes), Seq("t", "b"))
-      .where(
-        col("_bsz") <= maxBucketSize ||
-          pmod(xxhash64(col("vec_id"), col("t"), col("b")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
-      )
+      .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("vec_id"), col("t"), col("b")))
       .drop("_bsz")
   }
 
@@ -179,6 +187,7 @@ object Ann {
       maxBucketSize: Int = 1024,
       dims: Int = 0
   ): DataFrame = {
+    requireLshParams(nPlanes, nTables, maxBucketSize) // before the resolveDims job
     // The explicit repartition on the join key is load-bearing: both self-
     // join sides are the SAME plan, so the shuffle is computed once and the
     // other side reads a ReusedExchange — without it each side (and the
@@ -219,6 +228,7 @@ object Ann {
       maxBucketSize: Int = 4096,
       dims: Int = 0
   ): DataFrame = {
+    requireLshParams(nPlanes, nTables, maxBucketSize) // before the resolveDims job
     val dims0 = resolveDims(corpus, dims)
     val c = bucketedCapped(corpus, nPlanes, nTables, dims0, maxBucketSize)
     val qtables = array(

@@ -140,6 +140,7 @@ object TextOps {
     */
   def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
     require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     // CEILING band count: truncating division silently ignored the trailing
     // k % rowsPerBand signature components (recall loss with no warning),
     // and k < rowsPerBand made sequence(0, -1) DESCEND, creating a
@@ -181,10 +182,7 @@ object TextOps {
     val wB = Window.partitionBy("band", "bucket")
     val capped = banded
       .withColumn("_bsz", count(lit(1)).over(wB))
-      .where(
-        col("_bsz") <= maxBucketSize ||
-          pmod(xxhash64(col("doc_id"), col("band"), col("bucket")), ceil(col("_bsz").cast("double") / maxBucketSize).cast("long")) === 0
-      )
+      .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("doc_id"), col("band"), col("bucket")))
       .drop("_bsz")
     val a = capped.as("a")
     val b = capped.as("b")
