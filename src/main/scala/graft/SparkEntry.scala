@@ -980,11 +980,14 @@ object SparkEntry {
     // list_dot_product in the same dot/(√·√) shape matches bit-for-bit
     // (verified mismatch-free at sf0.01 before landing). The CASE mirrors
     // the engine's FULL degenerate guard (coalesce∘nanvl∘try_divide → -1):
-    // DuckDB double /0 yields NULL exactly where try_divide does, so
-    // "quotient IS NULL OR isnan(quotient) → -1" covers zero norms AND
-    // NaN/Inf elements alike, keeping the oracle valid for a fixture that
-    // ever gains a degenerate vector; on clean data the guard changes no
-    // value. The LSH cap in q21/q26 remains mirrored as a plain DROP —
+    // "dn = 0 OR quotient IS NULL OR isnan(quotient) → -1" covers zero
+    // norms by guarding the DENOMINATOR itself (robust to whether this
+    // DuckDB build's double /0 yields NULL or IEEE ±Inf — try_divide's
+    // NULL-on-zero-divisor is exactly the dn = 0 case) plus NaN/Inf
+    // elements via isnan, keeping the oracle valid for a fixture that ever
+    // gains a degenerate vector; a legit ±Inf quotient from a finite
+    // denominator passes through on BOTH surfaces. On clean data the guard
+    // changes no value. The LSH cap in q21/q26 remains mirrored as a plain DROP —
     // the engine's salted THINNING needs Spark's xxhash64, which DuckDB
     // lacks (the standing non-oracle-able class); equivalent as long as
     // the fixture keeps every bucket under cap, which the pinned row
@@ -992,9 +995,12 @@ object SparkEntry {
     "q20_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |        CASE WHEN list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) IS NULL OR isnan(list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)))) THEN -1 ELSE list_dot_product(q.qe, e.emb) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) END AS sim
+        |s0 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_dot_product(q.qe, e.emb) AS dp,
+        |        sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)) AS dn
         |      FROM q, e WHERE e.vec_id <> q.query_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |        CASE WHEN dn = 0 OR dp/dn IS NULL OR isnan(dp/dn) THEN -1 ELSE dp/dn END AS sim FROM s0),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |      FROM s)
@@ -1060,9 +1066,12 @@ object SparkEntry {
         |capped AS (SELECT vec_id, emb, t, b FROM (
         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 4096),
         |qb AS (SELECT vec_id AS query_id, emb AS qe, t, b FROM bt WHERE vec_id < 5),
-        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
-        |        CASE WHEN list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) IS NULL OR isnan(list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)))) THEN -1 ELSE list_dot_product(qe, c.emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) END AS sim
+        |s0 AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(qe, c.emb) AS dp,
+        |        sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)) AS dn
         |      FROM qb JOIN capped c USING (t, b) WHERE c.vec_id <> qb.query_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |        CASE WHEN dn = 0 OR dp/dn IS NULL OR isnan(dp/dn) THEN -1 ELSE dp/dn END AS sim FROM s0),
         |g AS (SELECT query_id, neighbor_id, max(sim) AS sim FROM s GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -1076,9 +1085,12 @@ object SparkEntry {
         |bt AS (${duckLshBuckets(nPlanes = 6, nTables = 6, dims = 64)}),
         |capped AS (SELECT vec_id, emb, t, b FROM (
         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM bt) q WHERE bsz <= 1024),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        CASE WHEN list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) IS NULL OR isnan(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) THEN -1 ELSE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) END AS sim
+        |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_dot_product(a.emb, b.emb) AS dp,
+        |        sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) AS dn
         |      FROM capped a JOIN capped b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+        |p AS (SELECT id_a, id_b,
+        |        CASE WHEN dn = 0 OR dp/dn IS NULL OR isnan(dp/dn) THEN -1 ELSE dp/dn END AS sim FROM p0),
         |g AS (SELECT id_a, id_b, max(sim) AS sim FROM p GROUP BY 1, 2)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM g WHERE sim >= 0.4""".stripMargin,
     // q24: pixel/PCM math is not SQL-expressible, but the fixture carries

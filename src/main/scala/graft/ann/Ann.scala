@@ -116,35 +116,14 @@ object Ann {
           throw new IllegalArgumentException("cannot infer embedding dims from an empty corpus — pass dims explicitly")
         )
 
-  /** (vec_id, embedding, t, b) rows for all tables, with a per-(t, b)
-    * hot-bucket cap. A bucket of B rows would emit B² join rows, so beyond
-    * maxBucketSize the bucket is THINNED to ≈cap rows by a deterministic
-    * uniform id-hash filter, bounding the join output by |buckets|·cap².
-    * Thinning, not dropping: the bucket id space is only nTables·2^nPlanes
-    * values, so at corpus scale EVERY bucket exceeds any fixed cap —
-    * dropping whole hot buckets would silently return zero results exactly
-    * at scale (the sf-scale oracles sit under the cap and cannot see it);
-    * a sampled bucket degrades to partial recall instead. The census is an
-    * aggregate + broadcast join (≤ nTables·2^nPlanes rows by construction),
-    * NOT a window — a window's partitionBy(t, b) would funnel the whole
-    * corpus, embeddings included, through ≤ |buckets| tasks.
-    *
-    * The thinning hash is salted with (t, b): an unsalted hash of vec_id
-    * alone picks the SAME survivors in every table (a vector whose hash
-    * misses the modulus is thinned out of all nTables buckets at once),
-    * which silently destroys the multi-table recall guarantee — per-bucket
-    * salting makes survival independent across tables, so a hot-bucket pair
-    * still surfaces in SOME table with the probability LSH promises.
-    *
-    * nPlanes/nTables are bounded so the census stays genuinely
+  /** argument validation shared by the public LSH entry points — called
+    * BEFORE resolveDims so an invalid call fails from the arguments alone
+    * instead of first paying a dims-inference Spark job. nPlanes/nTables
+    * are bounded so the bucket census (see bucketedCapped) stays genuinely
     * broadcastable: it has up to nTables·2^nPlanes rows, and a caller-
     * chosen nPlanes of, say, 24 would ship hundreds of millions of census
     * rows to the driver and every executor — the forced broadcast must not
     * become its own OOM at exactly the scale the cap exists for.
-    */
-  /** argument validation shared by the public LSH entry points — called
-    * BEFORE resolveDims so an invalid call fails from the arguments alone
-    * instead of first paying a dims-inference Spark job
     */
   private def requireLshParams(nPlanes: Int, nTables: Int, maxBucketSize: Int): Unit = {
     // nPlanes ≤ 20 is IMPLIED by the census bound (nTables ≥ 1), stated
@@ -158,6 +137,21 @@ object Ann {
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
   }
 
+  /** (vec_id, embedding, t, b) rows for all tables, with a per-(t, b)
+    * hot-bucket cap. A bucket of B rows would emit B² join rows, so beyond
+    * maxBucketSize the bucket is THINNED to ≈cap rows by the deterministic
+    * per-bucket-salted hash filter (graft.spark.Thinning — the salt
+    * rationale lives there), bounding the join output by |buckets|·cap².
+    * Thinning, not dropping: the bucket id space is only nTables·2^nPlanes
+    * values, so at corpus scale EVERY bucket exceeds any fixed cap —
+    * dropping whole hot buckets would silently return zero results exactly
+    * at scale (the sf-scale oracles sit under the cap and cannot see it);
+    * a sampled bucket degrades to partial recall instead. The census is an
+    * aggregate + broadcast join (≤ nTables·2^nPlanes rows by construction,
+    * enforced by requireLshParams), NOT a window — a window's
+    * partitionBy(t, b) would funnel the whole corpus, embeddings included,
+    * through ≤ |buckets| tasks.
+    */
   private[graft] def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
     requireLshParams(nPlanes, nTables, maxBucketSize)
     val tables = array(

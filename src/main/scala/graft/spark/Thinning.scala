@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.{ceil, lit, pmod, xxhash64}
   */
 object Thinning {
   def survivesCap(bucketSize: Column, cap: Int, salt: Column*): Column = {
-    require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     bucketSize <= cap ||
     pmod(xxhash64(salt: _*), ceil(bucketSize.cast("double") / cap).cast("long")) === 0
   }

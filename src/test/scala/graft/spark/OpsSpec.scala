@@ -175,10 +175,13 @@ class OpsSpec extends SparkTestBase {
     val pairs = Ann.nearDupPairs(corpus, minCosine = 0.999, nPlanes = 4, nTables = 2, maxBucketSize = 8, dims = 4)
     val n = pairs.count()
     assert(n > 0, "over-cap bucket must degrade to sampled recall, not silent emptiness")
-    // survivors per bucket are ≈Binomial(64, cap/64) — a hard ≤2·cap² bound
-    // would be hash-dependent and brittle; assert substantial thinning vs
-    // the C(64,2) = 2016 unthinned pairs instead
-    assert(n < 1008, s"thinning must cut the join output well below the 2016 unthinned pairs, got $n")
+    // survivors per bucket are ≈Binomial(64, cap/64), mean = cap = 8 — a
+    // hard exact cap is hash-dependent, but the BOUND invariant must stay
+    // under test: allow up to 2·cap survivors per table (P ≈ 1e-3 for a
+    // correct filter, deterministic for this fixture), i.e. ≤ nTables·C(16,2)
+    // distinct pairs. A dropped salt column or halved modulus (~2-4× cap
+    // survivors) blows past this; the old exact ≤2·cap² was brittle instead
+    assert(n <= 2L * 120, s"thinned output must stay near |buckets|·C(2·cap,2), got $n of 2016 unthinned")
   }
 
   test("hot-bucket thinning survivors are independent across LSH tables") {
@@ -216,9 +219,11 @@ class OpsSpec extends SparkTestBase {
     val pairs = TextOps.minHashCandidatePairs(clones, rowsPerBand = 4, maxBucketSize = 8)
     val n = pairs.count()
     assert(n > 0, "over-cap clone bucket must degrade to sampled pairs, not silent emptiness")
-    // survivors are ≈Binomial(40, cap/40) per band — assert substantial
-    // thinning vs the C(40,2) = 780 unthinned pairs, not a brittle hard cap
-    assert(n < 390, s"thinning must cut the pair output well below the 780 unthinned pairs, got $n")
+    // survivors are ≈Binomial(40, 1/5) per band, mean = cap = 8 — same
+    // bound-under-test rationale as the ANN thinning spec: ≤ 2·cap
+    // survivors per band (2 bands) keeps the |buckets|·cap² promise
+    // testable without pinning the exact hash draw
+    assert(n <= 2L * 120, s"thinned output must stay near bands·C(2·cap,2), got $n of 780 unthinned")
     // an EMPTY caller-supplied sig used to band as sequence(0,-1) → two
     // empty-slice bands shared by every empty-sig doc → all of them became
     // candidate pairs of each other
