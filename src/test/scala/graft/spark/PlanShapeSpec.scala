@@ -104,6 +104,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(aggLine.nonEmpty && !aggLine.exists(_.contains("embedding")), s"dedup shuffles embeddings:\n$p")
   }
 
+  test("nearDupPairs self-join reuses ONE bucketing sweep (census is the only extra)") {
+    // the bucketing subtree (scan + nTables·nPlanes plane dot products per
+    // row) is the expensive part; the explicit repartition(t, b) makes both
+    // self-join sides the SAME exchange so one side is a ReusedExchange
+    // leaf. Without it each side AND the census re-ran the sweep — 4 full
+    // corpus sweeps, measured 7× slower at sf0.1. Final plan must show at
+    // most 2 materialized bucketing subtrees (census + shared side).
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 64)
+      .map(i => (i.toLong, (0 until 8).map(d => ((i + d) % 5).toDouble).toArray))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Ann.nearDupPairs(emb, 0.5, nPlanes = 4, nTables = 2, dims = 8)
+      df.collect() // finalize THIS df's adaptive plan
+      // count in the FINAL-plan section only: AdaptiveSparkPlan's toString
+      // appends the reuse-free "== Initial Plan ==", which would triple the
+      // subtree counts regardless of what actually executed
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("ReusedExchange"), s"self-join sides must share one exchange:\n$p")
+      assert(count(p, "Generate explode") <= 2, s"bucketing sweep materialized more than census+side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("detect has exactly one exchange (repartition by scope)") {
     val ds = Detect.toPoints(points)(spark)
     val validated = Detect.detectValidated(ds, graft.model.EngineConfig(resolution = 60))
