@@ -61,15 +61,17 @@ object OracleHarness {
 
   /** Parse a fixture TSV the way `FileDataLoader.loadRawData` does
     * (`FileDataLoader.java:67-120`): trim, skip blanks, split on \s+, header
-    * maps ts / regular / startsWith("error").
+    * maps ts / regular / startsWith("error"). Raw rows are keyed by the ts
+    * STRING (`FileDataLoader.java:107-113`, HashMap.put) so a duplicate
+    * timestamp replaces the earlier value rather than accumulating.
     */
   def parseTsv(fixture: String): Map[String, Seq[Pt]] = {
     val lines = scala.io.Source.fromFile(s"$fixtureDir/$fixture").getLines().toSeq
     var colTs = -1
     var colRegular = -1
     var colError = -1
-    var regular = Vector.empty[Pt]
-    var error = Vector.empty[Pt]
+    val regular = scala.collection.mutable.LinkedHashMap.empty[String, Pt]
+    val error = scala.collection.mutable.LinkedHashMap.empty[String, Pt]
     var i = 0L
     for (raw <- lines) {
       val line = raw.trim
@@ -82,14 +84,15 @@ object OracleHarness {
             else if (c.startsWith("error")) colError = idx
           }
         } else {
-          val ts = cols(colTs).toLong
-          if (colRegular != -1) regular :+= Pt(ts, cols(colRegular).toDouble)
-          if (colError != -1) error :+= Pt(ts, cols(colError).toDouble)
+          val tsStr = cols(colTs)
+          val ts = tsStr.toLong
+          if (colRegular != -1) regular(tsStr) = Pt(ts, cols(colRegular).toDouble)
+          if (colError != -1) error(tsStr) = Pt(ts, cols(colError).toDouble)
         }
         i += 1
       }
     }
-    Map("regular" -> regular, "error" -> error).filter(_._2.nonEmpty)
+    Map("regular" -> regular.values.toVector, "error" -> error.values.toVector).filter(_._2.nonEmpty)
   }
 
   /** Fixture settings sidecar (e.g. {"rollup":300}). */

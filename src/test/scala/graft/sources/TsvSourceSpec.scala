@@ -26,6 +26,89 @@ class TsvSourceSpec extends SparkTestBase {
     }
   }
 
+  /** Write lines to a temp TSV and return its absolute path. */
+  private def tmpTsv(lines: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("tsv_edge")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("edge.tsv")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def collectSeries(path: String): Set[(String, Long, Double)] =
+    TsvSource
+      .readSeries(spark, path)
+      .collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket"), r.getAs[Double]("value")))
+      .toSet
+
+  test("header is the first NON-BLANK line and duplicate header tokens are last-wins") {
+    // reference maps the header in one overwrite loop (FileDataLoader.java:94-104):
+    // last ts -> idx 4, last regular -> idx 2, last error* -> idx 3
+    val p = tmpTsv(
+      "",
+      "   ",
+      "regular\tts\tregular\terror_count\tts",
+      "9\t1\t10\t0.5\t100",
+      "8\t2\t20\t0.7\t200"
+    )
+    assert(
+      collectSeries(p) == Set(
+        ("regular", 100L, 10.0),
+        ("regular", 200L, 20.0),
+        ("error", 100L, 0.5),
+        ("error", 200L, 0.7)
+      )
+    )
+  }
+
+  test("duplicate raw timestamps: the LAST line wins (HashMap.put, FileDataLoader.java:107-113)") {
+    val p = tmpTsv(
+      "ts\tregular\terror",
+      "100\t1\t0.1",
+      "200\t2\t0.2",
+      "200\t3\t0.3"
+    )
+    assert(
+      collectSeries(p) == Set(
+        ("regular", 100L, 1.0),
+        ("regular", 200L, 3.0),
+        ("error", 100L, 0.1),
+        ("error", 200L, 0.3)
+      )
+    )
+  }
+
+  test("degenerate files: empty, header-only, and ts-only headers are empty results") {
+    assert(collectSeries(tmpTsv("")) == Set.empty)
+    assert(collectSeries(tmpTsv("ts\tregular\terror")) == Set.empty)
+    // ts but neither regular nor error*: both reference raw maps stay empty
+    assert(collectSeries(tmpTsv("ts\tother", "100\t1")) == Set.empty)
+  }
+
+  test("malformed sidecars: whole-file failure is empty, bad mid-array element keeps the prefix") {
+    val base = tmpTsv("ts\tregular", "100\t1")
+    // no sidecar files at all
+    assert(TsvSource.readExpectedErrors(spark, base) == Seq.empty)
+    assert(TsvSource.readSettings(spark, base) == Map.empty)
+    // invalid JSON → catch-all empty (FileDataLoader.java:39-42)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base.errors"), "{not json".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base.settings"), "{not json".getBytes("UTF-8"))
+    assert(TsvSource.readExpectedErrors(spark, base) == Seq.empty)
+    assert(TsvSource.readSettings(spark, base) == Map.empty)
+    // string-typed elements coerce like gson getAsLong; a bad element stops
+    // the loop but keeps the prefix already accumulated
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.errors"),
+      """{"errors": [1, "2", "nope", 4]}""".getBytes("UTF-8")
+    )
+    assert(TsvSource.readExpectedErrors(spark, base) == Seq(1L, 2L))
+    // errors key present but not an array → empty
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base.errors"), """{"errors": 7}""".getBytes("UTF-8"))
+    assert(TsvSource.readExpectedErrors(spark, base) == Seq.empty)
+  }
+
   test("sidecar readers: .errors and .settings") {
     val base = s"${OracleHarness.fixtureDir}/real_test_2.tsv"
     assert(TsvSource.readSettings(spark, base) == Map("rollup" -> "300"))
