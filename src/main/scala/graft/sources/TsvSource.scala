@@ -25,6 +25,18 @@ object TsvSource {
     Try(fs.getFileStatus(path).isFile).getOrElse(false)
   }
 
+  /** Sidecars are tiny driver-side config files — read them whole through the
+    * Hadoop FS (same abstraction as [[isFile]]) rather than spinning up a
+    * distributed JSON scan for a 50-byte file.
+    */
+  private def readWholeFile(spark: SparkSession, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   private def emptySeries(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String, Long, Double)].toDF("scope", "metric", "bucket", "value")
@@ -57,102 +69,136 @@ object TsvSource {
     val tsIdx = cols.lastIndexOf("ts")
     val regularIdx = cols.lastIndexOf("regular")
     val errorIdx = cols.lastIndexWhere(_.startsWith("error"))
-    require(tsIdx >= 0, s"no ts column in $path")
 
     // skip the header LINE by position, not by textual equality (a data line
     // that happens to equal the header must survive)
     val rows = lines
       .where(col("_ln") > headerLn)
-      .select(split(col("line"), "\\s+").as("c"), col("_ln"))
+      .select(col("line"), split(col("line"), "\\s+").as("c"), col("_ln"))
+
+    // a ts-less header only fails when a data line is reached — the reference
+    // dereferences `cols[colTs]` per DATA line (`FileDataLoader.java:107`),
+    // so a header-only file without ts is a valid empty source
+    if (tsIdx < 0) {
+      if (rows.isEmpty) return emptySeries(spark)
+      throw new IllegalArgumentException(s"no ts column in $path")
+    }
 
     val metrics = Seq(
       if (regularIdx >= 0) Some(("regular", regularIdx)) else None,
       if (errorIdx >= 0) Some(("error", errorIdx)) else None
     ).flatten
+
+    // a data line too short for any mapped column is a LOUD failure, like the
+    // reference's ArrayIndexOutOfBounds on `cols[colTs]`/`cols[colRegular]`
+    // (`FileDataLoader.java:107-113`) — silently emitting null rows would be
+    // wrong data; assert_true returns null per good row, so the filter keeps
+    // every row while raising on the first malformed one
+    val needed = (tsIdx +: metrics.map(_._2)).max + 1
+    val checked = rows.where(
+      assert_true(
+        size(col("c")) >= needed,
+        concat(lit(s"malformed TSV line in $name (fewer than $needed columns): "), col("line"))
+      ).isNull
+    )
+
     // a header with ts but neither regular nor error* is a valid empty
-    // source in the reference (both raw maps just stay empty) — not a crash
-    if (metrics.isEmpty) return emptySeries(spark)
+    // source in the reference (both raw maps just stay empty) — not a crash.
+    // Still force the length check: the reference dereferences `cols[colTs]`
+    // per data line even when no series column is mapped, so a short line
+    // crashes there too
+    if (metrics.isEmpty) {
+      checked.count()
+      return emptySeries(spark)
+    }
 
     // exact-duplicate raw timestamps: the LAST line wins — the reference
     // keys raw rows by the ts STRING (`FileDataLoader.java:107-113`,
     // HashMap.put), so a repeated ts replaces, it does not sum (summing is
-    // the DOWNSTREAM bucket behavior for DISTINCT ts in one bucket, O3)
+    // the DOWNSTREAM bucket behavior for DISTINCT ts in one bucket, O3).
+    // The winner is metric-independent, so dedup ONCE before the per-metric
+    // projection rather than repeating the window per metric
     val wTs = Window.partitionBy("_ts_raw").orderBy(col("_ln").desc)
+    val deduped = checked
+      .select(element_at(col("c"), tsIdx + 1).as("_ts_raw"), col("c"), col("_ln"))
+      .withColumn("_rn", row_number().over(wTs))
+      .where(col("_rn") === 1)
+
     metrics
       .map { case (metric, idx) =>
-        rows
-          .select(
-            element_at(col("c"), tsIdx + 1).as("_ts_raw"),
-            element_at(col("c"), idx + 1).cast("double").as("value"),
-            col("_ln")
-          )
-          .withColumn("_rn", row_number().over(wTs))
-          .where(col("_rn") === 1)
-          .select(
-            lit(name).as("scope"),
-            lit(metric).as("metric"),
-            col("_ts_raw").cast("long").as("bucket"),
-            col("value")
-          )
+        deduped.select(
+          lit(name).as("scope"),
+          lit(metric).as("metric"),
+          col("_ts_raw").cast("long").as("bucket"),
+          element_at(col("c"), idx + 1).cast("double").as("value")
+        )
       }
       .reduce(_.unionByName(_))
   }
 
-  /** Coerce one JSON array element the way gson's `getAsLong` does: numbers
-    * truncate via longValue, strings go through Long.parseLong (so "123"
-    * passes but "1.5" or "abc" throws).
+  /** Coerce one JSON node the way gson's `getAsLong` does: number tokens
+    * truncate via longValue (so 1.5 → 1, exactly-representable int64s stay
+    * exact — Jackson keeps them as longs, never doubles), string tokens go
+    * through Long.parseLong (so "123" passes but "1.5" or "abc" throws), and
+    * everything else (null, bool, object, array) throws like gson's
+    * JsonNull/primitive getAsLong paths.
     */
-  private def toLongLikeGson(v: Any): Long = v match {
-    case n: java.lang.Number => n.longValue()
-    case s: String           => java.lang.Long.parseLong(s)
-    case other               => throw new IllegalArgumentException(s"not a long: $other")
-  }
+  private def toLongLikeGson(n: com.fasterxml.jackson.databind.JsonNode): Long =
+    if (n.isNumber) n.longValue()
+    else if (n.isTextual) java.lang.Long.parseLong(n.asText())
+    else throw new IllegalArgumentException(s"not a long: $n")
 
   /** `.errors` sidecar → expected outlier timestamps (S2). Whole-file parse
-    * failures (invalid JSON, missing/non-array `errors`) mirror the
-    * reference's catch-all → empty; a bad ELEMENT mid-array keeps the prefix
-    * already accumulated, exactly like the reference's catch around the add
-    * loop (`FileDataLoader.java:25-43` — `list` holds prior adds when
-    * `getAsLong` throws).
+    * failures (invalid JSON, non-object root, missing/non-array `errors`)
+    * mirror the reference's catch-all → empty; a bad ELEMENT mid-array keeps
+    * the prefix already accumulated, exactly like the reference's catch
+    * around the add loop (`FileDataLoader.java:25-43` — `list` holds prior
+    * adds when `getAsLong` throws). Parsed on the driver with Jackson, not a
+    * Spark JSON scan: a sidecar is one tiny config file, and Spark's schema
+    * inference coerces mixed-type arrays to double, corrupting int64
+    * timestamps above 2^53.
     */
   def readExpectedErrors(spark: SparkSession, tsvPath: String): Seq[Long] = {
     val p = s"$tsvPath.errors"
     if (!isFile(spark, p)) Seq.empty
     else
       Try {
-        val df = spark.read.option("multiLine", true).json(p)
-        if (!df.columns.contains("errors")) Seq.empty[Long]
-        else {
-          val vals = df.select(explode(col("errors")).as("ts")).collect().map(_.get(0))
-          vals.iterator
-            .map(v => Try(toLongLikeGson(v)))
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readWholeFile(spark, p))
+        val arr = if (root.isObject) root.get("errors") else null
+        if (arr == null || !arr.isArray) Seq.empty[Long]
+        else
+          scala.jdk.CollectionConverters
+            .IteratorHasAsScala(arr.elements())
+            .asScala
+            .map(n => Try(toLongLikeGson(n)))
             .takeWhile(_.isSuccess)
             .map(_.get)
             .toVector
-        }
       }.getOrElse(Seq.empty)
   }
 
-  /** `.settings` sidecar → flat string map (S3). Empty/row-less/malformed
-    * sidecars mirror the reference's catch-all → empty map
-    * (`FileDataLoader.java:45-64`); Spark's `_corrupt_record` marker column
-    * is never a settings key. One documented deviation: a NESTED value (an
-    * object or array, outside the flat-primitive contract) is stringified
-    * here, while the reference's `getAsString` throws and keeps the partial
-    * map built so far — Spark alphabetizes inferred JSON fields, so the
-    * reference's insertion-order prefix is not reproducible.
+  /** `.settings` sidecar → flat string map (S3). Mirrors the reference's
+    * entry loop exactly (`FileDataLoader.java:45-64`): values stringify via
+    * `getAsString` semantics, and the first non-primitive value (null, nested
+    * object, array) stops the loop, keeping the partial map of entries added
+    * before it — Jackson preserves JSON field order, so the reference's
+    * insertion-order prefix is reproduced. Missing/malformed files are the
+    * catch-all → empty map.
     */
   def readSettings(spark: SparkSession, tsvPath: String): Map[String, String] = {
     val p = s"$tsvPath.settings"
     if (!isFile(spark, p)) Map.empty
     else
       Try {
-        val df = spark.read.option("multiLine", true).json(p)
-        val keys = df.columns.filterNot(_ == "_corrupt_record")
-        df.collect().headOption match {
-          case None => Map.empty[String, String]
-          case Some(row) => keys.map(c => c -> String.valueOf(row.getAs[Any](c))).toMap
-        }
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readWholeFile(spark, p))
+        require(root.isObject, s"settings root is not an object: $p")
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(root.fields())
+          .asScala
+          .map(e => (e.getKey, e.getValue))
+          .takeWhile { case (_, v) => v.isValueNode && !v.isNull }
+          .map { case (k, v) => k -> v.asText() }
+          .toMap
       }.getOrElse(Map.empty)
   }
 }

@@ -85,6 +85,40 @@ class TsvSourceSpec extends SparkTestBase {
     assert(collectSeries(tmpTsv("ts\tregular\terror")) == Set.empty)
     // ts but neither regular nor error*: both reference raw maps stay empty
     assert(collectSeries(tmpTsv("ts\tother", "100\t1")) == Set.empty)
+    // a ts-LESS header is only an error once a data line is reached — the
+    // reference dereferences cols[colTs] per data line, never for the header
+    assert(collectSeries(tmpTsv("time\tvalue")) == Set.empty)
+    intercept[IllegalArgumentException] {
+      collectSeries(tmpTsv("time\tvalue", "1\t2"))
+    }
+  }
+
+  test("a data line shorter than a mapped column index fails loudly, not with silent null rows") {
+    // reference: ArrayIndexOutOfBounds on cols[colRegular] (FileDataLoader.java:107-113)
+    val e = intercept[Exception] {
+      collectSeries(tmpTsv("ts\tregular", "100\t1", "200"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("malformed TSV line")))
+  }
+
+  test("sidecar values keep gson coercion: exact int64 errors, insertion-order settings prefix") {
+    val base = tmpTsv("ts\tregular", "100\t1")
+    // 2^53+1 must survive exactly (a Spark JSON scan would coerce the mixed
+    // array to double and round it); 1.5 truncates like gson getAsLong
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.errors"),
+      """{"errors": [1.5, 9007199254740993]}""".getBytes("UTF-8")
+    )
+    assert(TsvSource.readExpectedErrors(spark, base) == Seq(1L, 9007199254740993L))
+    // the first non-primitive settings value stops the entry loop but keeps
+    // the prefix, mirroring the reference's catch around getAsString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.settings"),
+      """{"a": 1, "rollup": null, "z": 2}""".getBytes("UTF-8")
+    )
+    assert(TsvSource.readSettings(spark, base) == Map("a" -> "1"))
   }
 
   test("malformed sidecars: whole-file failure is empty, bad mid-array element keeps the prefix") {
