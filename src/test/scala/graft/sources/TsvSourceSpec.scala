@@ -121,6 +121,42 @@ class TsvSourceSpec extends SparkTestBase {
     assert(TsvSource.readSettings(spark, base) == Map("a" -> "1"))
   }
 
+  test("a data line textually equal to the header is DATA, not a skipped repeat header") {
+    // the reference treats line 3 as data: cols[colTs]="ts" enters the raw
+    // map keyed by the STRING "ts", and load() then crashes on
+    // Long.parseLong (`AbstractDataLoader.java:134`) — the parity behavior
+    // is a loud failure, never a silent skip that drops the row
+    val p = tmpTsv(
+      "ts\tregular",
+      "100\t1",
+      "ts\tregular",
+      "200\t2"
+    )
+    intercept[Exception] {
+      collectSeries(p)
+    }
+    // and a NUMERIC repeat of a data line is kept (positional skip only
+    // removes the real header line)
+    val p2 = tmpTsv("ts\tregular", "100\t1", "100\t1")
+    assert(collectSeries(p2) == Set(("regular", 100L, 1.0)))
+  }
+
+  test("sources and sidecars work through a qualified file:// URI (Hadoop FS, not java.io)") {
+    val base = tmpTsv("ts\tregular", "100\t1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.errors"),
+      """{"errors": [100]}""".getBytes("UTF-8")
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.settings"),
+      """{"rollup": 300}""".getBytes("UTF-8")
+    )
+    val uri = s"file://$base"
+    assert(collectSeries(uri) == Set(("regular", 100L, 1.0)))
+    assert(TsvSource.readExpectedErrors(spark, uri) == Seq(100L))
+    assert(TsvSource.readSettings(spark, uri) == Map("rollup" -> "300"))
+  }
+
   test("malformed sidecars: whole-file failure is empty, bad mid-array element keeps the prefix") {
     val base = tmpTsv("ts\tregular", "100\t1")
     // no sidecar files at all
