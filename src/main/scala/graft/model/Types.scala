@@ -85,9 +85,13 @@ object EngineConfig {
 
   /** S3 wiring (`AbstractDataLoader.setConfig`, `AbstractDataLoader.java:57-76`):
     * build a config from a flat settings map (e.g. a `.settings` sidecar).
-    * Reference-honored keys: `rollup` (targetTsStepResolution),
-    * `forecast_periods` (setForecastPeriods), `desired_time_resolution`
-    * (setDesiredTimeResolution — same field as rollup, later key wins).
+    * Resolution precedence is FIXED, never map-iteration-order: `rollup` is
+    * the reference's settings-path key (`setConfig` honors ONLY it,
+    * `AbstractDataLoader.java:59-62`); `desired_time_resolution` is stored
+    * but ignored by the reference's settings path (only the programmatic
+    * `setDesiredTimeResolution` applies it) — here it is honored as an
+    * ergonomic extension when `rollup` is absent.
+    * Other reference-honored keys: `forecast_periods` (setForecastPeriods).
     * Extensions (the reference's normalization mode is a hardcoded
     * "@todo Configure" field, `AbstractDataLoader.java:31`): `normalization`
     * (none|log|log10|log1p|sqrt), `gap_fill` (zero|locf|linear), `min_score`.
@@ -95,11 +99,15 @@ object EngineConfig {
     */
   def fromSettings(settings: Map[String, String], base: EngineConfig = EngineConfig()): EngineConfig = {
     var cfg = base
+    val lower = settings.map { case (k, v) => k.toLowerCase -> v }
+    lower
+      .get("rollup")
+      .orElse(lower.get("desired_time_resolution"))
+      .foreach(v => cfg = cfg.copy(resolution = v.toLong))
     for ((k, v) <- settings) k.toLowerCase match {
-      case "rollup"                  => cfg = cfg.copy(resolution = v.toLong)
-      case "desired_time_resolution" => cfg = cfg.copy(resolution = v.toLong)
-      case "forecast_periods"        => cfg = cfg.copy(forecastPeriods = v.toLong)
-      case "min_score"               => cfg = cfg.copy(minScore = v.toDouble)
+      case "rollup" | "desired_time_resolution" => () // applied above with fixed precedence
+      case "forecast_periods"                   => cfg = cfg.copy(forecastPeriods = v.toLong)
+      case "min_score"                          => cfg = cfg.copy(minScore = v.toDouble)
       case "normalization" =>
         cfg = cfg.copy(normalization = v.toLowerCase match {
           case "log"   => NormalizationMode.Log

@@ -93,6 +93,14 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     val src = new MutableSeriesSource("s")
     src.setConfig("rollup", "300")
     assert(src.config.resolution == 300L)
+    // resolution precedence is fixed, never map-iteration order: rollup (the
+    // reference's only settings-path resolution key, AbstractDataLoader.java:59-62)
+    // beats desired_time_resolution regardless of key order; the latter still
+    // applies when rollup is absent
+    assert(EngineConfig.fromSettings(Map("desired_time_resolution" -> "600", "rollup" -> "300")).resolution == 300L)
+    assert(EngineConfig.fromSettings(Map("rollup" -> "300", "desired_time_resolution" -> "600")).resolution == 300L)
+    assert(EngineConfig.fromSettings(Map("desired_time_resolution" -> "600")).resolution == 600L)
+    assert(EngineConfig.fromSettings(Map("ROLLUP" -> "120")).resolution == 120L)
   }
 
   test("O4 DataFrame normalize == kernel normalizeValue for every mode") {
