@@ -99,12 +99,16 @@ object EngineConfig {
     */
   def fromSettings(settings: Map[String, String], base: EngineConfig = EngineConfig()): EngineConfig = {
     var cfg = base
-    val lower = settings.map { case (k, v) => k.toLowerCase -> v }
+    // iterate in sorted key order so that case-variant duplicates of one
+    // logical key ("Rollup" + "rollup") resolve deterministically (last in
+    // lexicographic order wins) instead of by Map hash-iteration order
+    val ordered = settings.toSeq.sortBy(_._1)
+    val lower = ordered.map { case (k, v) => k.toLowerCase -> v }.toMap
     lower
       .get("rollup")
       .orElse(lower.get("desired_time_resolution"))
       .foreach(v => cfg = cfg.copy(resolution = v.toLong))
-    for ((k, v) <- settings) k.toLowerCase match {
+    for ((k, v) <- ordered) k.toLowerCase match {
       case "rollup" | "desired_time_resolution" => () // applied above with fixed precedence
       case "forecast_periods"                   => cfg = cfg.copy(forecastPeriods = v.toLong)
       case "min_score"                          => cfg = cfg.copy(minScore = v.toDouble)

@@ -123,15 +123,36 @@ object TsvSource {
       .select(element_at(col("c"), tsIdx + 1).as("_ts_raw"), col("c"), col("_ln"))
       .withColumn("_rn", row_number().over(wTs))
       .where(col("_rn") === 1)
+      // a non-numeric ts is a LOUD failure like the reference's
+      // Long.parseLong at `AbstractDataLoader.java:134` — and it must stay
+      // loud even in a spark.sql.ansi.enabled=false consumer session, where
+      // the cast alone would silently yield null buckets
+      .withColumn("bucket", col("_ts_raw").cast("long"))
+      .where(
+        assert_true(
+          col("bucket").isNotNull,
+          concat(lit(s"non-numeric ts in $name: "), col("_ts_raw"))
+        ).isNull
+      )
 
     metrics
       .map { case (metric, idx) =>
-        deduped.select(
-          lit(name).as("scope"),
-          lit(metric).as("metric"),
-          col("_ts_raw").cast("long").as("bucket"),
-          element_at(col("c"), idx + 1).cast("double").as("value")
-        )
+        deduped
+          .withColumn("value", element_at(col("c"), idx + 1).cast("double"))
+          // same for values: the reference's Double.parseDouble crashes on a
+          // non-numeric token, never silently nulls it
+          .where(
+            assert_true(
+              col("value").isNotNull,
+              concat(lit(s"non-numeric $metric value in $name on ts "), col("_ts_raw"))
+            ).isNull
+          )
+          .select(
+            lit(name).as("scope"),
+            lit(metric).as("metric"),
+            col("bucket"),
+            col("value")
+          )
       }
       .reduce(_.unionByName(_))
   }

@@ -141,6 +141,26 @@ class TsvSourceSpec extends SparkTestBase {
     assert(collectSeries(p2) == Set(("regular", 100L, 1.0)))
   }
 
+  test("non-numeric ts and value tokens stay LOUD even with ANSI mode off") {
+    // reference: Long.parseLong / Double.parseDouble crash
+    // (AbstractDataLoader.java:134,140); with spark.sql.ansi.enabled=false
+    // the casts alone would silently null — the assert_true guards must fire
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val badTs = intercept[Exception] {
+        collectSeries(tmpTsv("ts\tregular", "100\t1", "abc\t2"))
+      }
+      assert(msgs(badTs).exists(_.contains("non-numeric ts")))
+      val badVal = intercept[Exception] {
+        collectSeries(tmpTsv("ts\tregular", "100\tx"))
+      }
+      assert(msgs(badVal).exists(_.contains("non-numeric regular value")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("sources and sidecars work through a qualified file:// URI (Hadoop FS, not java.io)") {
     val base = tmpTsv("ts\tregular", "100\t1")
     java.nio.file.Files.write(
