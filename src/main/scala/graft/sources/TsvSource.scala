@@ -48,11 +48,19 @@ object TsvSource {
   def readSeries(spark: SparkSession, path: String): DataFrame = {
     val name = path.split("/").last
     // raw non-blank lines with positions; fixture files are tiny, so a
-    // single-partition ordered read is fine for this compat source
+    // single-partition ordered read is fine for this compat source.
+    // NOT functions.trim: Spark's trim strips only ' ' while the reference's
+    // Java String.trim (`FileDataLoader.java:84-86`) strips every char
+    // <= U+0020 — a tab-padded line must lose its padding (else \s+ splitting
+    // yields a phantom leading cell and every column shifts) and a tab-only
+    // line must read as blank and be skipped, exactly like the reference
     val lines = spark.read
       .text(path)
       .coalesce(1)
-      .select(trim(col("value")).as("line"), monotonically_increasing_id().as("_ln"))
+      .select(
+        regexp_replace(col("value"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "").as("line"),
+        monotonically_increasing_id().as("_ln")
+      )
       .where(length(col("line")) > 0)
 
     // header = the FIRST NON-BLANK line (`FileDataLoader.java:86-89` skips
@@ -165,7 +173,13 @@ object TsvSource {
     * JsonNull/primitive getAsLong paths.
     */
   private def toLongLikeGson(n: com.fasterxml.jackson.databind.JsonNode): Long =
-    if (n.isNumber) n.longValue()
+    if (n.isIntegralNumber && !n.canConvertToLong)
+      // Jackson parses an out-of-Long-range integer literal to BigInteger,
+      // whose longValue() WRAPS — a silently-corrupted expected-error ts.
+      // gson's getAsLong throws NumberFormatException there (Long.parseLong
+      // on the lazily-parsed literal), keeping the already-parsed prefix
+      throw new NumberFormatException(s"out of long range: $n")
+    else if (n.isNumber) n.longValue()
     else if (n.isTextual) java.lang.Long.parseLong(n.asText())
     else throw new IllegalArgumentException(s"not a long: $n")
 
