@@ -17,26 +17,8 @@ class KernelVsReferenceSpec extends AnyFunSuite {
     ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
   }
 
-  private val analyzerPairs: Seq[(KAnalyzer, () => ITimeserieAnalyzer)] = Seq(
-    (NoopAnalyzer, () => new NoopTimeserieAnalyzer()),
-    (NormalDistributionAnalyzer, () => new NormalDistributionTimeserieAnalyzer()),
-    (LogNormalDistributionAnalyzer, () => new LogNormalDistributionTimeserieAnalyzer()),
-    (SimpleRegressionAnalyzer, () => new SimpleRegressionTimeserieAnalyzer()),
-    (RandomWalkRegressionAnalyzer, () => new RandomWalkRegressionTimeserieAnalyzer()),
-    (TimeBucketSimpleRegressionAnalyzer, () => new TimeBucketSimpleRegressionTimeserieAnalyzer()),
-    (MovingAverageAnalyzer, () => new MovingAverageTimeserieAnalyzer()),
-    (SimpleExponentialSmoothingAnalyzer, () => new SimpleExponentialSmoothingTimeserieAnalyzer()),
-    (PolynomialRegressionAnalyzer, () => new PolynomialRegressionTimeserieAnalyzer()),
-    (MultipleLinearRegressionAnalyzer, () => new MultipleLinearRegressionTimeserieAnalyzer()),
-    (IntervalInterceptorAnalyzer, () => new IntervalInterceptorTimeserieAnalyzer())
-  )
-
-  // doubles compared via bits so NaN == NaN (exact-parity contract)
-  private def canon(fs: Seq[Flag]): Seq[(String, Long, Boolean, Long, Long, Long, Long)] = {
-    def b(d: Double) = java.lang.Double.doubleToLongBits(d)
-    fs.map(f => (f.metric, f.ts, f.isOutlier, b(f.value), b(f.expected), b(f.lb), b(f.rb)))
-      .sortBy(t => (t._1, t._2, t._3.toString, t._4))
-  }
+  private val analyzerPairs = OracleHarness.analyzerPairs
+  private def canon(fs: Seq[Flag]) = OracleHarness.canonFlags(fs)
 
   for (fixture <- OracleHarness.fixtureNames) {
     test(s"processed series parity: $fixture") {

@@ -1,13 +1,7 @@
 package graft.kernel
 
 import graft.model.Flag
-import nl.us2.timeseriesoutlierdetection.{
-  AbstractDataLoader,
-  FileDataLoader,
-  ITimeserieAnalyzer,
-  Timeseries,
-  TimeserieOutlier
-}
+import nl.us2.timeseriesoutlierdetection._
 import scala.jdk.CollectionConverters._
 
 /** Test-time bridge to the prebuilt reference jar (SURVEY.md §5.3): loads a
@@ -26,8 +20,13 @@ object OracleHarness {
   final case class OracleRun(loader: AbstractDataLoader, series: Map[String, Timeseries], resolution: Long)
 
   /** Run the reference load() pipeline on one fixture. */
-  def load(fixture: String): OracleRun = {
-    val dl = new FileDataLoader(s"$fixtureDir/$fixture")
+  def load(fixture: String): OracleRun = loadPath(s"$fixtureDir/$fixture")
+
+  /** Run the reference load() pipeline on an absolute TSV path (generated
+    * fixtures live outside [[fixtureDir]]).
+    */
+  def loadPath(path: String): OracleRun = {
+    val dl = new FileDataLoader(path)
     dl.load()
     val f = classOf[AbstractDataLoader].getDeclaredField("timeseries")
     f.setAccessible(true)
@@ -49,6 +48,33 @@ object OracleHarness {
       res.getInliers.asScala.map(conv(_, isOutlier = false)).toSeq
   }
 
+  /** kernel analyzer ↔ reference analyzer pairs for differential runs
+    * (OneClassSVM excluded: the reference jar has no runnable counterpart
+    * offline — see SURVEY §5.3).
+    */
+  val analyzerPairs: Seq[(KAnalyzer, () => ITimeserieAnalyzer)] = Seq(
+    (NoopAnalyzer, () => new NoopTimeserieAnalyzer()),
+    (NormalDistributionAnalyzer, () => new NormalDistributionTimeserieAnalyzer()),
+    (LogNormalDistributionAnalyzer, () => new LogNormalDistributionTimeserieAnalyzer()),
+    (SimpleRegressionAnalyzer, () => new SimpleRegressionTimeserieAnalyzer()),
+    (RandomWalkRegressionAnalyzer, () => new RandomWalkRegressionTimeserieAnalyzer()),
+    (TimeBucketSimpleRegressionAnalyzer, () => new TimeBucketSimpleRegressionTimeserieAnalyzer()),
+    (MovingAverageAnalyzer, () => new MovingAverageTimeserieAnalyzer()),
+    (SimpleExponentialSmoothingAnalyzer, () => new SimpleExponentialSmoothingTimeserieAnalyzer()),
+    (PolynomialRegressionAnalyzer, () => new PolynomialRegressionTimeserieAnalyzer()),
+    (MultipleLinearRegressionAnalyzer, () => new MultipleLinearRegressionTimeserieAnalyzer()),
+    (IntervalInterceptorAnalyzer, () => new IntervalInterceptorTimeserieAnalyzer())
+  )
+
+  /** Flags canonicalized for exact differential comparison: doubles via
+    * their bit pattern so NaN == NaN (the exact-parity contract).
+    */
+  def canonFlags(fs: Seq[Flag]): Seq[(String, Long, Boolean, Long, Long, Long, Long)] = {
+    def b(d: Double) = java.lang.Double.doubleToLongBits(d)
+    fs.map(f => (f.metric, f.ts, f.isOutlier, b(f.value), b(f.expected), b(f.lb), b(f.rb)))
+      .sortBy(t => (t._1, t._2, t._3.toString, t._4))
+  }
+
   /** Expected-error timestamps from the .errors sidecar, re-bucketed to the
     * fixture's final resolution the same way the reference does
     * (`AbstractDataLoader.java:402-410`).
@@ -65,8 +91,10 @@ object OracleHarness {
     * STRING (`FileDataLoader.java:107-113`, HashMap.put) so a duplicate
     * timestamp replaces the earlier value rather than accumulating.
     */
-  def parseTsv(fixture: String): Map[String, Seq[Pt]] = {
-    val lines = scala.io.Source.fromFile(s"$fixtureDir/$fixture").getLines().toSeq
+  def parseTsv(fixture: String): Map[String, Seq[Pt]] = parseTsvAt(s"$fixtureDir/$fixture")
+
+  def parseTsvAt(path: String): Map[String, Seq[Pt]] = {
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
     var colTs = -1
     var colRegular = -1
     var colError = -1
@@ -96,8 +124,10 @@ object OracleHarness {
   }
 
   /** Fixture settings sidecar (e.g. {"rollup":300}). */
-  def settings(fixture: String): Map[String, String] = {
-    val f = new java.io.File(s"$fixtureDir/$fixture.settings")
+  def settings(fixture: String): Map[String, String] = settingsAt(s"$fixtureDir/$fixture")
+
+  def settingsAt(path: String): Map[String, String] = {
+    val f = new java.io.File(s"$path.settings")
     if (!f.isFile) Map.empty
     else {
       // flat {"k":v} JSON — values numeric or string
