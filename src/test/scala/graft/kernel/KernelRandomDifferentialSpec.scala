@@ -2,7 +2,6 @@ package graft.kernel
 
 import graft.model.EngineConfig
 import org.scalatest.funsuite.AnyFunSuite
-import scala.util.Random
 
 /** Seeded randomized differential for the FULL kernel pipeline: generated
   * fixtures (random walk values with spikes, gaps, same-bucket duplicate
@@ -16,74 +15,12 @@ import scala.util.Random
   * 23 curated fixtures, swept here across input shapes the corpus doesn't
   * cover (e.g. the 60→300→900 ladder entered from a gap-heavy series, spike
   * sanitation on log-normalized data, error_rate derivation under dup
-  * buckets).
-  *
-  * Raw values are DYADIC (0.25 steps): the reference's initial bucket sum
-  * runs in JDK-HashMap iteration order of the raw ts strings while the
-  * kernel sums in ascending-ts order — a documented divergence
-  * ([[SeriesKernel.bucketSum]]) that is unobservable when per-bucket sums
-  * are exact in any order, which dyadic values of bounded magnitude
-  * guarantee. Every DOWNSTREAM sum (rollup ladder, gap fill) runs in
-  * sorted order on both sides, so post-normalization non-integral values
-  * still compare bit-for-bit.
+  * buckets). Fixture shapes and the dyadic-value rationale live in
+  * [[RandomFixtures]].
   */
 class KernelRandomDifferentialSpec extends AnyFunSuite {
 
-  private def writeFixture(rnd: Random, dir: java.nio.file.Path, i: Int): String = {
-    val step = if (rnd.nextBoolean()) 60L else 300L
-    // wide enough that some seeds keep >1440 buckets after ~15% gaps and so
-    // enter the reference's auto-rollup ladder (`AbstractDataLoader.java:263`)
-    val n = 60 + rnd.nextInt(2600)
-    val base = 1400000000L + rnd.nextInt(100000)
-    val hasError = rnd.nextDouble() < 0.5
-    // scale 1e6 pushes the series mean over the reference's
-    // auto-log-normalize threshold on some seeds; scale 1 with negatives
-    // exercises the ln-of-negative quirk path
-    val scale = rnd.nextInt(3) match { case 0 => 1.0; case 1 => 100.0; case _ => 1e6 }
-    val allowNegative = scale == 1.0 && rnd.nextDouble() < 0.5
-    var v = (200 + rnd.nextInt(201)) * 0.25 // dyadic start in [50, 100]
-
-    val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += (if (hasError) "ts\tregular\terror" else "ts\tregular")
-    for (k <- 0 until n) {
-      if (rnd.nextDouble() >= 0.15) { // ~15% gaps
-        val ts = base + k * step
-        def emit(t: Long): Unit = {
-          v = v + (rnd.nextInt(41) - 20) * 0.25 // dyadic walk, ±5 per step
-          if (!allowNegative && v < 0.25) v = 0.25
-          val value = (if (rnd.nextDouble() < 0.02) v * 8 else v) * scale
-          val err = rnd.nextInt(5)
-          lines += (if (hasError) s"$t\t$value\t$err" else s"$t\t$value")
-        }
-        emit(ts)
-        // a second raw row inside the same bucket: processData SUMS it
-        if (rnd.nextDouble() < 0.2) emit(ts + step / 2)
-        // an exact-duplicate ts string: raw map last-wins, never summed
-        if (rnd.nextDouble() < 0.05) emit(ts)
-      }
-    }
-    val f = dir.resolve(s"kr_$i.tsv")
-    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
-    if (rnd.nextDouble() < 0.4) {
-      val rollup = step * (1 + rnd.nextInt(5))
-      java.nio.file.Files.write(
-        dir.resolve(s"kr_$i.tsv.settings"),
-        s"""{"rollup":$rollup}""".getBytes("UTF-8")
-      )
-    }
-    f.toString
-  }
-
-  private val dir = java.nio.file.Files.createTempDirectory("kernel_rand_diff")
-  dir.toFile.deleteOnExit()
-
-  // deterministic per index; memoized so each test is self-sufficient.
-  // Sequential java.util.Random seeds correlate on their first draws
-  // (all-same step across 10 fixtures); the golden-ratio multiply
-  // decorrelates them
-  private val fixtureMemo = scala.collection.mutable.Map.empty[Int, String]
-  private def fixture(i: Int): String =
-    fixtureMemo.getOrElseUpdate(i, writeFixture(new Random((9000L + i) * 0x9E3779B97F4A7C15L), dir, i))
+  private def fixture(i: Int): String = RandomFixtures.path(i)
 
   for (i <- 0 until 10) {
     test(s"random fixture $i: processed series, train stats, and all analyzer flags match the reference") {
