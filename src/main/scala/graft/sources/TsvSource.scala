@@ -165,22 +165,25 @@ object TsvSource {
       .reduce(_.unionByName(_))
   }
 
-  /** Coerce one JSON node the way gson's `getAsLong` does: number tokens
-    * truncate via longValue (so 1.5 → 1, exactly-representable int64s stay
-    * exact — Jackson keeps them as longs, never doubles), string tokens go
-    * through Long.parseLong (so "123" passes but "1.5" or "abc" throws), and
-    * everything else (null, bool, object, array) throws like gson's
-    * JsonNull/primitive getAsLong paths.
+  /** Coerce one JSON node the way gson 2.3.1's `getAsLong` does
+    * (`JsonPrimitive.getAsLong` → `LazilyParsedNumber.longValue()`: try
+    * `Long.parseLong(raw)`, fall back to `new BigDecimal(raw).longValue()`).
+    * So NUMBER tokens never throw — in-range int64 literals stay exact,
+    * fractions truncate (1.9 → 1), and out-of-range values (integer or
+    * exponent-float) WRAP to their low 64 bits exactly like BigDecimal.
+    * String tokens go through Long.parseLong (so "123" passes but "1.5" or
+    * "abc" throws → the caller keeps the prefix, the reference's catch-all
+    * path), and everything else (null, bool, object, array) throws like
+    * gson's JsonNull/primitive getAsLong paths. The caller parses floats
+    * with USE_BIG_DECIMAL_FOR_FLOATS so `decimalValue()` IS the exact raw
+    * decimal — a double-parsed 1e30 would wrap to DIFFERENT low bits than
+    * gson's `BigDecimal("1e30")`.
     */
   private def toLongLikeGson(n: com.fasterxml.jackson.databind.JsonNode): Long =
-    if (n.isIntegralNumber && !n.canConvertToLong)
-      // Jackson parses an out-of-Long-range integer literal to BigInteger,
-      // whose longValue() WRAPS — a silently-corrupted expected-error ts.
-      // gson's getAsLong throws NumberFormatException there (Long.parseLong
-      // on the lazily-parsed literal), keeping the already-parsed prefix
-      throw new NumberFormatException(s"out of long range: $n")
-    else if (n.isNumber) n.longValue()
-    else if (n.isTextual) java.lang.Long.parseLong(n.asText())
+    if (n.isNumber) {
+      if (n.isIntegralNumber && n.canConvertToLong) n.longValue()
+      else n.decimalValue().longValue()
+    } else if (n.isTextual) java.lang.Long.parseLong(n.asText())
     else throw new IllegalArgumentException(s"not a long: $n")
 
   /** `.errors` sidecar → expected outlier timestamps (S2). Whole-file parse
@@ -198,7 +201,14 @@ object TsvSource {
     if (!isFile(spark, p)) Seq.empty
     else
       Try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readWholeFile(spark, p))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // exact-decimal floats: toLongLikeGson's wrap semantics need the raw
+        // literal's value, not a double approximation (see its scaladoc)
+        mapper.configure(
+          com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS,
+          true
+        )
+        val root = mapper.readTree(readWholeFile(spark, p))
         val arr = if (root.isObject) root.get("errors") else null
         if (arr == null || !arr.isArray) Seq.empty[Long]
         else
@@ -214,26 +224,40 @@ object TsvSource {
 
   /** `.settings` sidecar → flat string map (S3). Mirrors the reference's
     * entry loop exactly (`FileDataLoader.java:45-64`): values stringify via
-    * `getAsString` semantics, and the first non-primitive value (null, nested
-    * object, array) stops the loop, keeping the partial map of entries added
-    * before it — Jackson preserves JSON field order, so the reference's
-    * insertion-order prefix is reproduced. Missing/malformed files are the
-    * catch-all → empty map.
+    * `getAsString` semantics — for numbers that is the RAW source literal
+    * (gson 2.3.1's string-backed `LazilyParsedNumber.toString`, so "1.500"
+    * stays "1.500", never a canonical "1.5" re-rendering; Jackson's
+    * `asText()` would canonicalize, hence the streaming parser whose
+    * `getText` keeps the input spelling) — and the first non-primitive
+    * FINAL value (null, nested object, array) stops the loop, keeping the
+    * partial map of entries added before it. Duplicate keys behave like
+    * gson's LinkedTreeMap: the LAST occurrence's value at the FIRST
+    * occurrence's position, which `LinkedHashMap` reproduces. Missing or
+    * malformed files are the catch-all → empty map.
     */
   def readSettings(spark: SparkSession, tsvPath: String): Map[String, String] = {
+    import com.fasterxml.jackson.core.JsonToken
     val p = s"$tsvPath.settings"
     if (!isFile(spark, p)) Map.empty
     else
       Try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readWholeFile(spark, p))
-        require(root.isObject, s"settings root is not an object: $p")
-        scala.jdk.CollectionConverters
-          .IteratorHasAsScala(root.fields())
-          .asScala
-          .map(e => (e.getKey, e.getValue))
-          .takeWhile { case (_, v) => v.isValueNode && !v.isNull }
-          .map { case (k, v) => k -> v.asText() }
-          .toMap
+        val parser = new com.fasterxml.jackson.core.JsonFactory().createParser(readWholeFile(spark, p))
+        try {
+          require(parser.nextToken() == JsonToken.START_OBJECT, s"settings root is not an object: $p")
+          // None = a value getAsString throws on (null/object/array): it
+          // stops the reference's loop if still the key's final value
+          val entries = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+          while (parser.nextToken() != JsonToken.END_OBJECT) {
+            val key = parser.currentName()
+            val v = parser.nextToken()
+            if (v == JsonToken.START_OBJECT || v == JsonToken.START_ARRAY) {
+              parser.skipChildren()
+              entries(key) = None
+            } else if (v == JsonToken.VALUE_NULL) entries(key) = None
+            else entries(key) = Some(parser.getText)
+          }
+          entries.iterator.takeWhile(_._2.isDefined).map { case (k, v) => k -> v.get }.toMap
+        } finally parser.close()
       }.getOrElse(Map.empty)
   }
 }

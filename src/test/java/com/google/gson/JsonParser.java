@@ -97,10 +97,13 @@ public class JsonParser {
             int start = i;
             while (i < s.length() && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i++;
             String n = s.substring(start, i);
-            if (n.contains(".") || n.contains("e") || n.contains("E")) {
-                return new JsonPrimitive(Double.parseDouble(n));
-            }
-            return new JsonPrimitive(Long.parseLong(n));
+            // reject malformed tokens at parse time (real gson validates the
+            // token shape in JsonReader), but keep the VALUE lazy like
+            // gson 2.3.1: the raw literal is stored and only coerced at
+            // getAsLong/getAsString time, so an out-of-Long-range integer
+            // parses fine and later WRAPS via BigDecimal.longValue()
+            new java.math.BigDecimal(n); // shape check only
+            return new JsonPrimitive(new LazilyParsedNumber(n));
         }
     }
 }

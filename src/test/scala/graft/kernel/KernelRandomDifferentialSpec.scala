@@ -29,7 +29,10 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
 
       val raw = OracleHarness.parseTsvAt(path)
       val settings = OracleHarness.settingsAt(path)
-      val cfg = EngineConfig(resolution = settings.get("rollup").map(_.toLong).getOrElse(60L))
+      // fromSettings, not a hand-rolled rollup lookup: it already maps every
+      // sidecar key the reference honors, so generator extensions can't
+      // silently diverge the two configs
+      val cfg = EngineConfig.fromSettings(settings)
       val mine = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
 
       assert(mine.resolution == oracle.resolution, "final resolution")
@@ -70,7 +73,10 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
 
       val raw = OracleHarness.parseTsvAt(path)
       val settings = OracleHarness.settingsAt(path)
-      val cfg = EngineConfig(resolution = settings.get("rollup").map(_.toLong).getOrElse(60L))
+      // fromSettings, not a hand-rolled rollup lookup: it already maps every
+      // sidecar key the reference honors, so generator extensions can't
+      // silently diverge the two configs
+      val cfg = EngineConfig.fromSettings(settings)
       val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
       val flags = OracleHarness.analyzerPairs.flatMap(_._1.analyze(s"kr_$i", processed.series.values))
       val mine = ScopePipeline.score(flags, 1.0)

@@ -12,6 +12,24 @@ object OracleHarness {
 
   val fixtureDir = "/root/reference/src/main/resources/testdata"
 
+  /** Temp dir for generated fixtures, removed RECURSIVELY at JVM exit —
+    * `File.deleteOnExit` on a non-empty directory silently deletes nothing,
+    * so every run would leak its fixtures into /tmp.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      try
+        Files
+          .walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }
+    }))
+    dir
+  }
+
   def fixtureNames: Seq[String] = {
     val d = new java.io.File(fixtureDir)
     d.listFiles().filter(f => f.isFile && f.getName.endsWith(".tsv")).map(_.getName).sorted.toSeq

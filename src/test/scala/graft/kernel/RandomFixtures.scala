@@ -21,8 +21,7 @@ import scala.util.Random
   */
 object RandomFixtures {
 
-  private val dir = java.nio.file.Files.createTempDirectory("rand_fixtures")
-  dir.toFile.deleteOnExit()
+  private val dir = OracleHarness.tempDir("rand_fixtures")
 
   // deterministic per index; memoized so every consuming test is
   // self-sufficient. Sequential java.util.Random seeds correlate on their

@@ -34,7 +34,9 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
   private def numericCell(rnd: Random): String = rnd.nextInt(3) match {
     case 0 => rnd.nextInt(1000).toString
     case 1 => (rnd.nextDouble() * 100).toString
-    case _ => f"${rnd.nextDouble() * 1000}%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render "15,000",
+    // failing Double.parseDouble for reasons unrelated to engine parity
+    case _ => "%.3f".formatLocal(java.util.Locale.ROOT, rnd.nextDouble() * 1000)
   }
 
   /** One random fixture: returns the lines of the file. */
@@ -101,8 +103,7 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
 
   test("randomized differential: 18 seeded adversarial TSVs parse identically to FileDataLoader.loadRawData") {
     val rnd = new Random(20260817L)
-    val dir = java.nio.file.Files.createTempDirectory("tsv_rand_diff")
-    dir.toFile.deleteOnExit()
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_rand_diff")
     var nonTrivial = 0
     for (i <- 0 until 18) {
       val lines = generate(rnd)
@@ -118,23 +119,23 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
 
   test("scope column is the file basename on a generated fixture") {
     val rnd = new Random(7L)
-    val dir = java.nio.file.Files.createTempDirectory("tsv_rand_scope")
-    dir.toFile.deleteOnExit()
-    // regenerate until a fixture with data rows appears (seeded => stable)
-    val lines = Iterator
-      .continually(generate(rnd))
-      .dropWhile(l => l.count(_.trim.nonEmpty) < 3)
-      .next()
-    val path = write(dir, "scoped.tsv", lines)
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_rand_scope")
+    // regenerate until a fixture that actually PARSES TO POINTS appears
+    // (seeded => stable); an if-guard here would let the assertion go
+    // silently vacuous on an empty-series draw
+    val path = Iterator
+      .from(0)
+      .map(k => write(dir, s"scoped_$k.tsv", generate(rnd)))
+      .find(p => referencePoints(p).nonEmpty)
+      .get
     val scopes = TsvSource.readSeries(spark, path).select("scope").distinct().collect().map(_.getString(0))
-    if (referencePoints(path).nonEmpty) assert(scopes.toSeq == Seq("scoped.tsv"))
+    assert(scopes.toSeq == Seq(path.split("/").last))
   }
 
   // ---- throw-parity: files the reference crashes on must crash here too ----
 
   private def tmp(name: String, lines: String*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("tsv_throw")
-    dir.toFile.deleteOnExit()
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_throw")
     write(dir, name, lines)
   }
 
@@ -181,15 +182,22 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
   /** Render one random JSON value as a literal; `depth` bounds nesting. */
   private def jsonValue(rnd: Random, depth: Int): String = {
     val words = Vector("abc", "x y", "none", "42", "1.5", "log10", "linear")
-    rnd.nextInt(if (depth > 0) 9 else 7) match {
+    rnd.nextInt(if (depth > 0) 11 else 9) match {
       case 0 => (1400000000L + rnd.nextInt(100000)).toString
-      case 1 => f"${rnd.nextDouble() * 100}%.4g" // may carry an exponent
+      // Locale.ROOT (comma-decimal locales); %g keeps trailing zeros
+      // ("1.500"), a NON-canonical spelling settings must preserve raw
+      case 1 => "%.4g".formatLocal(java.util.Locale.ROOT, rnd.nextDouble() * 100)
       case 2 => "\"" + (1 + rnd.nextInt(100000)).toString + "\"" // numeric string
       case 3 => "\"" + words(rnd.nextInt(words.size)) + "\""
       case 4 => if (rnd.nextBoolean()) "true" else "false"
       case 5 => "null"
       case 6 => (rnd.nextDouble() * 10).toString
-      case 7 => s"[${jsonValue(rnd, depth - 1)}]"
+      // out-of-Long-range integer: getAsLong wraps to the low 64 bits
+      case 7 => (BigInt(Long.MaxValue) + 1 + rnd.nextInt(1000000)).toString
+      // huge exponent float: wraps via the exact-decimal value, and its raw
+      // spelling ("10e27") must survive the settings getAsString path
+      case 8 => s"1${"0" * rnd.nextInt(3)}e${25 + rnd.nextInt(10)}"
+      case 9 => s"[${jsonValue(rnd, depth - 1)}]"
       case _ => s"""{"k":${jsonValue(rnd, depth - 1)}}"""
     }
   }
@@ -216,8 +224,7 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
 
   test("randomized sidecar differential: 40 seeded .errors and .settings files read identically") {
     val rnd = new Random(424242L)
-    val dir = java.nio.file.Files.createTempDirectory("tsv_rand_sidecar")
-    dir.toFile.deleteOnExit()
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_rand_sidecar")
     var nonEmptyErr = 0
     var nonEmptySet = 0
     for (i <- 0 until 40) {
@@ -245,19 +252,42 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
     assert(nonEmptyErr >= 10 && nonEmptySet >= 10, s"generator too degenerate: $nonEmptyErr/$nonEmptySet")
   }
 
-  test("out-of-Long-range integer in .errors keeps the prefix (gson parseLong throw), never wraps") {
-    // NOT routed through the stub differential: the clean-room stub parses
-    // integer tokens eagerly (Long.parseLong at parse time -> whole-file
-    // catch -> empty), while real gson parses lazily and throws at
-    // getAsLong -> prefix kept. Jackson's BigIntegerNode.longValue() would
-    // silently WRAP; the reader must throw instead and keep the prefix.
-    val dir = java.nio.file.Files.createTempDirectory("tsv_bigint")
-    dir.toFile.deleteOnExit()
+  test("out-of-range .errors numbers WRAP to their low 64 bits like gson, never throw or saturate") {
+    // gson 2.3.1 stores every parsed number as a string-backed
+    // LazilyParsedNumber whose longValue() tries Long.parseLong and falls
+    // back to new BigDecimal(raw).longValue() — dropping the fraction and
+    // keeping only the low-order 64 bits, NEVER throwing. So the reference
+    // reads the FULL list with wrapped values: no prefix-keeping (a
+    // previous build threw here) and no Long.MAX_VALUE saturation (what
+    // Jackson's double path would do for 1e30).
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_bigint")
     val base = dir.resolve("big.tsv").toString
     java.nio.file.Files.write(
       java.nio.file.Paths.get(base + ".errors"),
-      """{"errors":[7, 99999999999999999999999999, 9]}""".getBytes("UTF-8")
+      """{"errors":[7, 99999999999999999999999999, 9, 1e30, 1.9, -1.9]}""".getBytes("UTF-8")
     )
-    assert(TsvSource.readExpectedErrors(spark, base) == Seq(7L))
+    val expected = Seq(
+      7L,
+      BigInt("99999999999999999999999999").toLong, // low 64 bits
+      9L,
+      BigDecimal("1e30").toBigInt.toLong, // exact-decimal wrap, NOT (long) 1.0e30
+      1L, // fraction drops toward zero
+      -1L
+    )
+    assert(TsvSource.readExpectedErrors(spark, base) == expected)
+    // the reference (over the lazily-parsed stub oracle) agrees
+    assert(new FileDataLoader(base).loadExpectedErrors().asScala.map(_.longValue()).toSeq == expected)
+  }
+
+  test("settings keep the RAW number spelling like gson getAsString, not a canonical re-rendering") {
+    val dir = graft.kernel.OracleHarness.tempDir("tsv_rawset")
+    val base = dir.resolve("raw.tsv").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base + ".settings"),
+      """{"a":1.500, "b":1e3, "c":42, "d":"x"}""".getBytes("UTF-8")
+    )
+    val expected = Map("a" -> "1.500", "b" -> "1e3", "c" -> "42", "d" -> "x")
+    assert(TsvSource.readSettings(spark, base) == expected)
+    assert(new FileDataLoader(base).loadSettings().asScala.toMap == expected)
   }
 }

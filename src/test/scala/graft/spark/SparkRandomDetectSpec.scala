@@ -35,7 +35,10 @@ class SparkRandomDetectSpec extends SparkTestBase {
       val path = RandomFixtures.path(i)
       val raw = OracleHarness.parseTsvAt(path)
       val settings = OracleHarness.settingsAt(path)
-      val cfg = EngineConfig(resolution = settings.get("rollup").map(_.toLong).getOrElse(60L))
+      // fromSettings, not a hand-rolled rollup lookup: it already maps every
+      // sidecar key the reference honors, so generator extensions can't
+      // silently diverge the two configs
+      val cfg = EngineConfig.fromSettings(settings)
 
       val validated = Detect
         .detectValidated(s.createDataset(points(i, raw)).repartition(8), cfg)
