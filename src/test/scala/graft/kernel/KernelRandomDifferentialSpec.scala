@@ -91,7 +91,60 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  for (i <- 0 until 10) {
+    test(s"random fixture $i: expected-errors rebucket + crash parity vs reference validate(1)") {
+      val base = fixture(i)
+      val raw = OracleHarness.parseTsvAt(base)
+      val cfg = EngineConfig.fromSettings(OracleHarness.settingsAt(base))
+      val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
+      val flags = OracleHarness.analyzerPairs.flatMap(_._1.analyze(s"ke_$i", processed.series.values))
+      val outlierTs = flags.filter(_.isOutlier).map(_.ts)
+
+      // sibling fixture with a generated .errors sidecar aimed using the
+      // kernel's own outlier buckets (see RandomFixtures.errorsPath)
+      val path = RandomFixtures.errorsPath(i, outlierTs, processed.resolution)
+      val rawExpected = {
+        val txt = scala.io.Source.fromFile(path + ".errors").mkString
+        "-?\\d+".r.findAllIn(txt).map(_.toLong).toSeq
+      }
+      val report = ScopePipeline.expectedReport(flags, rawExpected, processed.resolution)
+
+      // O13 rebucket + dedupe parity (the reference rebuckets in load(),
+      // `AbstractDataLoader.java:400-409`, preserving first-occurrence order)
+      val run = OracleHarness.loadPath(path)
+      assert(OracleHarness.expectedErrors(run) == report.map(_._1), "rebucket+dedupe order")
+
+      // crash parity: reference validate() NPE-unboxes on the first expected
+      // bucket with zero outlier records (`AbstractDataLoader.java:317-319`);
+      // our report answers found=false there instead of crashing. When every
+      // expected bucket IS found, validate(1) must succeed and agree on the
+      // scores of the expected buckets it validates.
+      val refList = new java.util.ArrayList[nl.us2.timeseriesoutlierdetection.ITimeserieAnalyzer]()
+      OracleHarness.analyzerPairs.foreach { case (_, mk) => refList.add(mk()) }
+      run.loader.analyze(refList)
+      if (report.forall(_._4)) {
+        import scala.jdk.CollectionConverters._
+        val refValidated = run.loader.validate(1).asScala.map(v => v.getTs -> v.getScore).toMap
+        for ((ts, _, score, _) <- report if score >= 1.0)
+          assert(
+            math.abs(refValidated(ts) - score) <= 1e-9 * math.max(1.0, math.abs(score)),
+            s"score at expected ts $ts"
+          )
+        errBranches(i) = "clean"
+      } else {
+        intercept[NullPointerException] { run.loader.validate(1) }
+        errBranches(i) = "npe"
+      }
+    }
+  }
+
+  private val errBranches = scala.collection.mutable.Map.empty[Int, String]
   private val validatedCounts = scala.collection.mutable.Map.empty[Int, Int]
+
+  test("the expected-errors sweep exercises BOTH reference branches (clean validate and NPE)") {
+    assume(errBranches.size == 10, "needs the per-fixture runs")
+    assert(errBranches.values.toSet == Set("clean", "npe"), s"branches per fixture: $errBranches")
+  }
 
   test("the random sweep is non-vacuous: several fixtures produce validated outliers") {
     // registered after (and depends on) the per-fixture tests above; skip
