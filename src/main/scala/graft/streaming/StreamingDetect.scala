@@ -28,6 +28,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Input rows must be finalized series points — e.g. the output of
   * `StreamingDerive.deriveStream`, whose watermark emits each window once.
+  *
+  * Draining caveat: ProcessingTimeTimeout makes the micro-batch engine
+  * schedule no-data batches indefinitely (each batch may need to evict
+  * expired state), so a detect stream has no natural end of work:
+  * `processAllAvailable()` NEVER returns (measured), and a
+  * `Trigger.AvailableNow` query churns through timer-only batches instead
+  * of stopping promptly after its data. To drain one, monitor
+  * `StreamingQuery.recentProgress` until the expected `numInputRows` have
+  * been ingested (their batches are then committed), and call `stop()`;
+  * for continuous operation use a ProcessingTime trigger as usual.
   */
 object StreamingDetect {
 

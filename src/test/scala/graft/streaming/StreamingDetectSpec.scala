@@ -38,7 +38,6 @@ class StreamingDetectSpec extends SparkTestBase {
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_sd").toString)
-      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Validated], id: Long) =>
         emitted.synchronized {
           emitted ++= batch.collect().map(v => id -> ((v.scope, v.ts, v.score, v.details)))
@@ -46,10 +45,13 @@ class StreamingDetectSpec extends SparkTestBase {
         ()
       }
 
+    // drain by ingested-row count, NOT AvailableNow + awaitTermination
+    // (burned 2 × ~120 s here in timer-only batches) and NOT
+    // processAllAvailable (never returns) — see the detectStream scaladoc
     input.addData(first)
-    val q1 = q.start(); q1.awaitTermination(120000)
+    val q1 = q.start(); StreamingRandomDetectSpec.drainAndStop(q1, first.size.toLong)
     input.addData(second)
-    val q2 = q.start(); q2.awaitTermination(120000)
+    val q2 = q.start(); StreamingRandomDetectSpec.drainAndStop(q2, second.size.toLong)
 
     // final state = the LAST batch that emitted anything for the scope
     val lastBatch = emitted.map(_._1).max
