@@ -36,8 +36,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `Trigger.AvailableNow` query churns through timer-only batches instead
   * of stopping promptly after its data. To drain one, monitor
   * `StreamingQuery.recentProgress` until the expected `numInputRows` have
-  * been ingested (their batches are then committed), and call `stop()`;
-  * for continuous operation use a ProcessingTime trigger as usual.
+  * been ingested (their batches are then committed), and call `stop()` —
+  * accumulate the counts per `batchId` (recentProgress is a bounded ring
+  * buffer; a long drain's timer-only batches evict the data batches'
+  * entries) or use a StreamingQueryListener. For continuous operation use
+  * a ProcessingTime trigger as usual.
   */
 object StreamingDetect {
 

@@ -22,18 +22,37 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
 
   private def fixture(i: Int): String = RandomFixtures.path(i)
 
+  /** One kernel run per fixture — parse, process, every analyzer — shared by
+    * the three per-fixture tests below (each stays self-sufficient under
+    * test filtering: whichever runs first computes it). Config comes from
+    * `EngineConfig.fromSettings`, not a hand-rolled rollup lookup: it
+    * already maps every sidecar key the reference honors, so generator
+    * extensions can't silently diverge the two configs.
+    */
+  private val kernelMemo = scala.collection.mutable.Map
+    .empty[Int, (ScopePipeline.Processed, Seq[(String, Seq[graft.model.Flag])])]
+  private def kernelRun(i: Int): (ScopePipeline.Processed, Seq[(String, Seq[graft.model.Flag])]) =
+    kernelMemo.synchronized {
+      kernelMemo.getOrElseUpdate(
+        i, {
+          val path = fixture(i)
+          val raw = OracleHarness.parseTsvAt(path)
+          val cfg = EngineConfig.fromSettings(OracleHarness.settingsAt(path))
+          val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
+          val perAnalyzer = OracleHarness.analyzerPairs.map { case (a, _) =>
+            a.name -> a.analyze(s"kr_$i", processed.series.values)
+          }
+          (processed, perAnalyzer)
+        }
+      )
+    }
+  private def allFlags(i: Int): Seq[graft.model.Flag] = kernelRun(i)._2.flatMap(_._2)
+
   for (i <- 0 until 10) {
     test(s"random fixture $i: processed series, train stats, and all analyzer flags match the reference") {
       val path = fixture(i)
       val oracle = OracleHarness.loadPath(path)
-
-      val raw = OracleHarness.parseTsvAt(path)
-      val settings = OracleHarness.settingsAt(path)
-      // fromSettings, not a hand-rolled rollup lookup: it already maps every
-      // sidecar key the reference honors, so generator extensions can't
-      // silently diverge the two configs
-      val cfg = EngineConfig.fromSettings(settings)
-      val mine = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
+      val (mine, perAnalyzer) = kernelRun(i)
 
       assert(mine.resolution == oracle.resolution, "final resolution")
       assert(mine.series.keySet == oracle.series.keySet, "series names")
@@ -51,11 +70,11 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
         assert(ks.stats.maxVal == ref.getTrainMaxVal, s"series $name trainMax")
       }
 
+      val mineByName = perAnalyzer.toMap
       for ((mineA, refA) <- OracleHarness.analyzerPairs) {
-        val myFlags = mineA.analyze(s"kr_$i", mine.series.values)
         val refFlags = OracleHarness.analyze(oracle, refA(), mineA.name, s"kr_$i")
         assert(
-          OracleHarness.canonFlags(myFlags) == OracleHarness.canonFlags(refFlags),
+          OracleHarness.canonFlags(mineByName(mineA.name)) == OracleHarness.canonFlags(refFlags),
           s"analyzer ${mineA.name} flags"
         )
       }
@@ -71,15 +90,7 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
       import scala.jdk.CollectionConverters._
       val refValidated = dl.validate(1).asScala.map(v => v.getTs -> v.getScore).toMap
 
-      val raw = OracleHarness.parseTsvAt(path)
-      val settings = OracleHarness.settingsAt(path)
-      // fromSettings, not a hand-rolled rollup lookup: it already maps every
-      // sidecar key the reference honors, so generator extensions can't
-      // silently diverge the two configs
-      val cfg = EngineConfig.fromSettings(settings)
-      val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
-      val flags = OracleHarness.analyzerPairs.flatMap(_._1.analyze(s"kr_$i", processed.series.values))
-      val mine = ScopePipeline.score(flags, 1.0)
+      val mine = ScopePipeline.score(allFlags(i), 1.0)
 
       assert(mine.keySet == refValidated.keySet, "validated outlier ts sets")
       for ((ts, score) <- mine) {
@@ -93,20 +104,14 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
 
   for (i <- 0 until 10) {
     test(s"random fixture $i: expected-errors rebucket + crash parity vs reference validate(1)") {
-      val base = fixture(i)
-      val raw = OracleHarness.parseTsvAt(base)
-      val cfg = EngineConfig.fromSettings(OracleHarness.settingsAt(base))
-      val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
-      val flags = OracleHarness.analyzerPairs.flatMap(_._1.analyze(s"ke_$i", processed.series.values))
+      val (processed, _) = kernelRun(i)
+      val flags = allFlags(i)
       val outlierTs = flags.filter(_.isOutlier).map(_.ts)
 
       // sibling fixture with a generated .errors sidecar aimed using the
-      // kernel's own outlier buckets (see RandomFixtures.errorsPath)
-      val path = RandomFixtures.errorsPath(i, outlierTs, processed.resolution)
-      val rawExpected = {
-        val txt = scala.io.Source.fromFile(path + ".errors").mkString
-        "-?\\d+".r.findAllIn(txt).map(_.toLong).toSeq
-      }
+      // kernel's own outlier buckets (see RandomFixtures.errorsPath, which
+      // also returns the raw picks it wrote — no sidecar re-parse here)
+      val (path, rawExpected) = RandomFixtures.errorsPath(i, outlierTs, processed.resolution)
       val report = ScopePipeline.expectedReport(flags, rawExpected, processed.resolution)
 
       // O13 rebucket + dedupe parity (the reference rebuckets in load(),
@@ -125,11 +130,17 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
       if (report.forall(_._4)) {
         import scala.jdk.CollectionConverters._
         val refValidated = run.loader.validate(1).asScala.map(v => v.getTs -> v.getScore).toMap
-        for ((ts, _, score, _) <- report if score >= 1.0)
+        for ((ts, _, score, _) <- report if score >= 1.0) {
+          val ref = refValidated.get(ts)
           assert(
-            math.abs(refValidated(ts) - score) <= 1e-9 * math.max(1.0, math.abs(score)),
+            ref.isDefined,
+            s"kernel validates expected ts $ts (score $score) but reference validate(1) omits it"
+          )
+          assert(
+            math.abs(ref.get - score) <= 1e-9 * math.max(1.0, math.abs(score)),
             s"score at expected ts $ts"
           )
+        }
         errBranches(i) = "clean"
       } else {
         intercept[NullPointerException] { run.loader.validate(1) }

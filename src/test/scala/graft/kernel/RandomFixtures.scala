@@ -36,51 +36,61 @@ object RandomFixtures {
   // validated-outlier differential on [[path]] never enters the reference's
   // expected-error loop, which NPE-unboxes (`AbstractDataLoader.java:317-319`)
   // when an expected ts has zero outlier records
-  private val memoErrors = scala.collection.mutable.Map.empty[Int, String]
+  // (path, picks written, aiming outlierTs, aiming resolution)
+  private val memoErrors = scala.collection.mutable.Map.empty[Int, (String, Seq[Long], Seq[Long], Long)]
 
   /** The fixture [[path]](i) plus a generated `.errors` sidecar, under a
-    * sibling name. Picks are seed-driven from two pools so BOTH reference
-    * branches occur across the sweep: `outlierTs` (final-resolution bucket
-    * ts the kernel flagged as outliers — offsets < `resolution` collapse
-    * back onto them in the reference's rebucket+dedupe,
-    * `AbstractDataLoader.java:400-409`) and raw data-line ts that usually
-    * carry no outlier record, which make the reference's `validate()`
-    * NPE-unbox. Using kernel outputs to AIM the sidecar is sound: the
-    * differential then checks the reference AGREES the aimed ts are found.
+    * sibling name; returns the path AND the raw picks written (so callers
+    * never re-parse the sidecar format). Picks are seed-driven from two
+    * pools so BOTH reference branches occur across the sweep: `outlierTs`
+    * (final-resolution bucket ts the kernel flagged as outliers — offsets
+    * < `resolution` collapse back onto them in the reference's
+    * rebucket+dedupe, `AbstractDataLoader.java:400-409`) and raw data-line
+    * ts that usually carry no outlier record, which make the reference's
+    * `validate()` NPE-unbox. Using kernel outputs to AIM the sidecar is
+    * sound: the differential then checks the reference AGREES the aimed ts
+    * are found. Memoized per index; a repeat call must pass the SAME aiming
+    * arguments (the sidecar on disk was generated for the first caller's).
     */
-  def errorsPath(i: Int, outlierTs: Seq[Long], resolution: Long): String = memoErrors.synchronized {
-    memoErrors.getOrElseUpdate(
-      i, {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val base = Paths.get(path(i))
-        val rnd = new Random((7000L + i) * 0x9E3779B97F4A7C15L)
-        val f = dir.resolve(s"ke_$i.tsv")
-        Files.copy(base, f, StandardCopyOption.REPLACE_EXISTING)
-        val settings = base.resolveSibling(s"kr_$i.tsv.settings")
-        if (Files.exists(settings))
-          Files.copy(settings, dir.resolve(s"ke_$i.tsv.settings"), StandardCopyOption.REPLACE_EXISTING)
-        import scala.jdk.CollectionConverters._
-        val dataTs = Files.readAllLines(base).asScala.drop(1).map(_.split("\t")(0).trim.toLong).toIndexedSeq
-        val flagged = outlierTs.distinct.sorted.toIndexedSeq
-        val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
-        if (flagged.nonEmpty)
-          for (_ <- 0 to rnd.nextInt(3))
-            picks += flagged(rnd.nextInt(flagged.size)) + rnd.nextInt(resolution.toInt)
-        // unflagged picks (the NPE pool) on ~60% of seeds, or as a fallback
-        // so the sidecar is never empty
-        if (rnd.nextDouble() < 0.6 || picks.isEmpty) {
-          for (_ <- 0 to rnd.nextInt(2))
-            picks += dataTs(rnd.nextInt(dataTs.size)) + rnd.nextInt(30)
-          if (rnd.nextBoolean()) picks += dataTs.max + 86400L
+  def errorsPath(i: Int, outlierTs: Seq[Long], resolution: Long): (String, Seq[Long]) =
+    memoErrors.synchronized {
+      val (p, picks, memoOutliers, memoRes) = memoErrors.getOrElseUpdate(
+        i, {
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          val base = Paths.get(path(i))
+          val rnd = new Random((7000L + i) * 0x9E3779B97F4A7C15L)
+          val f = dir.resolve(s"ke_$i.tsv")
+          Files.copy(base, f, StandardCopyOption.REPLACE_EXISTING)
+          val settings = Paths.get(path(i) + ".settings") // derived, not re-spelled
+          if (Files.exists(settings))
+            Files.copy(settings, Paths.get(f.toString + ".settings"), StandardCopyOption.REPLACE_EXISTING)
+          import scala.jdk.CollectionConverters._
+          val dataTs = Files.readAllLines(base).asScala.drop(1).map(_.split("\t")(0).trim.toLong).toIndexedSeq
+          val flagged = outlierTs.distinct.sorted.toIndexedSeq
+          val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
+          if (flagged.nonEmpty)
+            for (_ <- 0 to rnd.nextInt(3))
+              picks += flagged(rnd.nextInt(flagged.size)) + rnd.nextInt(resolution.toInt)
+          // unflagged picks (the NPE pool) on ~60% of seeds, or as a fallback
+          // so the sidecar is never empty
+          if (rnd.nextDouble() < 0.6 || picks.isEmpty) {
+            for (_ <- 0 to rnd.nextInt(2))
+              picks += dataTs(rnd.nextInt(dataTs.size)) + rnd.nextInt(30)
+            if (rnd.nextBoolean()) picks += dataTs.max + 86400L
+          }
+          Files.write(
+            Paths.get(f.toString + ".errors"),
+            s"""{"errors":[${picks.mkString(",")}]}""".getBytes("UTF-8")
+          )
+          (f.toString, picks.toSeq, outlierTs, resolution)
         }
-        Files.write(
-          dir.resolve(s"ke_$i.tsv.errors"),
-          s"""{"errors":[${picks.mkString(",")}]}""".getBytes("UTF-8")
-        )
-        f.toString
-      }
-    )
-  }
+      )
+      require(
+        memoOutliers == outlierTs && memoRes == resolution,
+        s"errorsPath($i) re-invoked with different aiming arguments than the memoized sidecar was generated for"
+      )
+      (p, picks)
+    }
 
   private def writeFixture(rnd: Random, i: Int): String = {
     val step = if (rnd.nextBoolean()) 60L else 300L

@@ -84,14 +84,18 @@ class StreamingRandomDetectSpec extends SparkTestBase {
 
 private[streaming] object StreamingRandomDetectSpec {
 
-  /** Wait until the running query has ingested `expectedRows` input rows
-    * (summed over its progress entries — a reported progress means the
-    * batch is committed and its foreachBatch has run), then stop it.
-    * Detect streams cannot be drained with `processAllAvailable` or
-    * `Trigger.AvailableNow` + `awaitTermination`: pending
-    * ProcessingTimeTimeout timers make the engine schedule no-data batches
-    * indefinitely (see the `detectStream` scaladoc), so the former never
-    * returns and the latter burns its full timeout in timer-only batches.
+  /** Wait until the running query has ingested `expectedRows` input rows (a
+    * reported progress means the batch is committed and its foreachBatch
+    * has run), then stop it. Detect streams cannot be drained with
+    * `processAllAvailable` or `Trigger.AvailableNow` + `awaitTermination`:
+    * pending ProcessingTimeTimeout timers make the engine schedule no-data
+    * batches indefinitely (see the `detectStream` scaladoc), so the former
+    * never returns and the latter burns its full timeout in timer-only
+    * batches. Counts are accumulated per batchId — `recentProgress` is a
+    * bounded ring buffer (~100 entries), so a plain sum would undercount
+    * once timer-only batches evict the data batches' entries. A query that
+    * dies mid-drain surfaces its own StreamingQueryException immediately
+    * instead of spinning out the timeout.
     */
   def drainAndStop(
       q: org.apache.spark.sql.streaming.StreamingQuery,
@@ -99,10 +103,22 @@ private[streaming] object StreamingRandomDetectSpec {
       timeoutMs: Long = 120000L
   ): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    def seen = q.recentProgress.iterator.map(_.numInputRows).sum
-    while (seen < expectedRows && System.currentTimeMillis() < deadline) Thread.sleep(100)
-    val s = seen
-    try require(s >= expectedRows, s"drained only $s of $expectedRows rows before the timeout")
-    finally q.stop()
+    val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+    def seen: Long = {
+      for (p <- q.recentProgress) perBatch(p.batchId) = p.numInputRows
+      perBatch.values.sum
+    }
+    try {
+      while (seen < expectedRows && System.currentTimeMillis() < deadline) {
+        q.exception.foreach(e => throw e)
+        require(
+          q.isActive,
+          s"query terminated cleanly after ingesting only $seen of $expectedRows rows"
+        )
+        Thread.sleep(100)
+      }
+      val s = seen
+      require(s >= expectedRows, s"drained only $s of $expectedRows rows before the timeout")
+    } finally q.stop()
   }
 }
