@@ -149,8 +149,78 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  for (i <- 0 until 10) {
+    test(s"random fixture $i: validated details payload parity (outliers + last-10 snapshot)") {
+      import scala.jdk.CollectionConverters._
+      val dl = new nl.us2.timeseriesoutlierdetection.FileDataLoader(fixture(i))
+      dl.load()
+      val refList = new java.util.ArrayList[nl.us2.timeseriesoutlierdetection.ITimeserieAnalyzer]()
+      OracleHarness.analyzerPairs.foreach { case (_, mk) => refList.add(mk()) }
+      dl.analyze(refList)
+      val refValidated = dl.validate(1).asScala
+      detailsCompared(i) = refValidated.nonEmpty
+      if (refValidated.nonEmpty) {
+        // doubles compared via BIT PATTERNS like canonFlags (NaN-safe); the
+        // flags-parity test above already pins both sides bit-exact, so the
+        // details payload derived from them must round-trip identically
+        def b(d: Double) = java.lang.Double.doubleToLongBits(d)
+        val refDetails = refValidated.head.getDetails
+        val refOutliers = refDetails
+          .getAsJsonArray("outliers")
+          .asScala
+          .map(_.asInstanceOf[com.google.gson.JsonObject])
+          .map { o =>
+            (
+              o.get("serie_name").getAsString,
+              o.get("timestamp").getAsLong,
+              o.get("analyzer_name").getAsString.stripSuffix("TimeserieAnalyzer"),
+              b(o.get("measured_value").getAsString.toDouble),
+              b(o.get("expected_value").getAsString.toDouble),
+              b(o.get("expected_value_left_bound").getAsString.toDouble),
+              b(o.get("expected_value_right_bound").getAsString.toDouble),
+              b(o.get("outlier_magnitude").getAsString.toDouble)
+            )
+          }
+          .toSet
+        val refSnaps = refDetails
+          .get("timeseries")
+          .asInstanceOf[com.google.gson.JsonObject]
+          .entrySet()
+          .asScala
+          .map(e =>
+            e.getKey -> e.getValue
+              .asInstanceOf[com.google.gson.JsonArray]
+              .asScala
+              .map(v => b(v.getAsString.toDouble))
+              .toSeq
+          )
+          .toMap
+
+        val (processed, _) = kernelRun(i)
+        val (mineOutliers, mineSnaps) = ScopePipeline.detailsPayload(allFlags(i), processed.series)
+        val mineSet = mineOutliers
+          .map(o =>
+            (o.serieName, o.timestamp, o.analyzerName, b(o.measuredValue), b(o.expectedValue),
+              b(o.leftBound), b(o.rightBound), b(o.magnitude))
+          )
+          .toSet
+        assert(mineSet == refOutliers, "details outlier records")
+        assert(
+          mineSnaps.map { case (k, vs) => k -> vs.map(b) }.toMap == refSnaps,
+          "last-10-point series snapshots"
+        )
+      }
+    }
+  }
+
+  private val detailsCompared = scala.collection.mutable.Map.empty[Int, Boolean]
   private val errBranches = scala.collection.mutable.Map.empty[Int, String]
   private val validatedCounts = scala.collection.mutable.Map.empty[Int, Int]
+
+  test("the details-parity sweep is non-vacuous: several fixtures compare a payload") {
+    assume(detailsCompared.size == 10, "needs the per-fixture runs")
+    assert(detailsCompared.count(_._2) >= 3, s"payloads compared per fixture: $detailsCompared")
+  }
 
   test("the expected-errors sweep exercises BOTH reference branches (clean validate and NPE)") {
     assume(errBranches.size == 10, "needs the per-fixture runs")
