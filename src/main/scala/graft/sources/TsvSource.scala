@@ -49,16 +49,20 @@ object TsvSource {
     val name = path.split("/").last
     // raw non-blank lines with positions; fixture files are tiny, so a
     // single-partition ordered read is fine for this compat source.
-    // NOT functions.trim: Spark's trim strips only ' ' while the reference's
-    // Java String.trim (`FileDataLoader.java:84-86`) strips every char
-    // <= U+0020 — a tab-padded line must lose its padding (else \s+ splitting
-    // yields a phantom leading cell and every column shifts) and a tab-only
-    // line must read as blank and be skipped, exactly like the reference
+    // NOT plain trim(col): Spark's one-arg trim strips only ' ' while the
+    // reference's Java String.trim (`FileDataLoader.java:84-86`) strips
+    // every char <= U+0020 — a tab-padded line must lose its padding (else
+    // \s+ splitting yields a phantom leading cell and every column shifts)
+    // and a tab-only line must read as blank and be skipped, exactly like
+    // the reference. The two-arg trim with the explicit U+0000..U+0020 char
+    // set is that rule, codegen'd (a regexp_replace here measured ~1.5x
+    // slower on the driver bench)
+    val javaTrimChars = (0x00 to 0x20).map(_.toChar).mkString
     val lines = spark.read
       .text(path)
       .coalesce(1)
       .select(
-        regexp_replace(col("value"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "").as("line"),
+        trim(col("value"), javaTrimChars).as("line"),
         monotonically_increasing_id().as("_ln")
       )
       .where(length(col("line")) > 0)
