@@ -9,9 +9,14 @@ import scala.collection.mutable
   * `MutableDataLoader` (`MutableDataLoader.java:9-53`): build a scope's
   * series in memory (`addData`), attach expected-error labels
   * (`addExpectedError`), then `load()` → `analyze()` → `validate()` with the
-  * same per-scope semantics as the file loader. Duplicate (serie, ts) adds
-  * overwrite (reference HashMap.put), string timestamps/values are parsed at
-  * load like `AbstractDataLoader.processData`.
+  * same per-scope semantics as the file loader. Raw entries are stored as
+  * STRINGS keyed by the ts spelling, exactly the reference's
+  * `HashMap<String, String>` (`MutableDataLoader.java:12,45-49`): duplicate
+  * ts STRINGS overwrite (HashMap.put), but distinct spellings of one
+  * numeric ts (e.g. "0100" and "100") coexist and bucket-SUM at load, and
+  * parsing happens only at load with the reference's exact tokenizers
+  * (`AbstractDataLoader.processData`: `Long.parseLong` is strict — " 100"
+  * throws — while `Double.parseDouble` accepts surrounding whitespace).
   *
   * One instance = one scope (one reference data-loader). For cluster-scale
   * input use `toPoints`, which bridges the accumulated series into the
@@ -20,7 +25,7 @@ import scala.collection.mutable
 final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineConfig()) {
 
   private val settings = mutable.Map.empty[String, String]
-  private val rawSeries = mutable.Map.empty[String, mutable.Map[Long, Double]]
+  private val rawSeries = mutable.Map.empty[String, mutable.Map[String, String]]
   private val expectedErrors = mutable.ArrayBuffer.empty[Long]
 
   private var processed: Option[ScopePipeline.Processed] = None
@@ -28,12 +33,14 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
 
   def setConfig(key: String, value: String): Unit = settings(key) = value
 
-  /** reference-style string API (`MutableDataLoader.addData(serie, ts, val)`) */
+  /** reference-style string API (`MutableDataLoader.addData(serie, ts, val)`):
+    * the raw spelling is KEPT; malformed tokens surface at load, not here
+    */
   def addData(serie: String, ts: String, value: String): Unit =
-    addData(serie, ts.trim.toLong, value.trim.toDouble)
+    rawSeries.getOrElseUpdate(serie, mutable.Map.empty)(ts) = value
 
   def addData(serie: String, ts: Long, value: Double): Unit =
-    rawSeries.getOrElseUpdate(serie, mutable.Map.empty)(ts) = value
+    addData(serie, ts.toString, value.toString)
 
   def addExpectedError(ts: Long): Unit = expectedErrors += ts
 
@@ -45,13 +52,29 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   /** `AbstractDataLoader.load()`: process all series (bucket → gap-fill →
     * alert policy → rollup ladder → error_rate → auto-normalize).
     */
+  /** one raw entry parsed the way `AbstractDataLoader.processData` does
+    * (`AbstractDataLoader.java:130-136`)
+    */
+  private def parseEntry(t: String, v: String): Pt =
+    Pt(java.lang.Long.parseLong(t), java.lang.Double.parseDouble(v))
+
   def load(): this.type = {
     val raw: Map[String, Iterable[Pt]] =
-      rawSeries.toMap.map { case (serie, m) => serie -> m.toSeq.sortBy(_._1).map { case (t, v) => Pt(t, v) } }
+      rawSeries.toMap.map { case (serie, m) =>
+        serie -> m.toSeq.map { case (t, v) => parseEntry(t, v) }.sortBy(_.ts)
+      }
     processed = Some(ScopePipeline.process(raw, config))
     flags = None
     this
   }
+
+  /** processed (bucketed, gap-filled, possibly rolled-up and normalized)
+    * series of the loaded scope: serie → (bucket ts → value). Ergonomic
+    * accessor the reference lacks (its `timeseries` map is a private field,
+    * `AbstractDataLoader.java:18`); loads on demand like `analyze`.
+    */
+  def processedSeries: Map[String, Map[Long, Double]] =
+    processedOrLoad().series.view.mapValues(_.data.iterator.map(p => p.ts -> p.v).toMap).toMap
 
   private def processedOrLoad(): ScopePipeline.Processed = {
     if (processed.isEmpty) load()
@@ -86,7 +109,9 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   def toPoints(spark: SparkSession): DataFrame = {
     import spark.implicits._
     rawSeries.toSeq
-      .flatMap { case (serie, m) => m.toSeq.map { case (t, v) => (name, serie, t, v) } }
+      .flatMap { case (serie, m) =>
+        m.toSeq.map { case (t, v) => val p = parseEntry(t, v); (name, serie, p.ts, p.v) }
+      }
       .toDF("scope", "metric", "bucket", "value")
   }
 }

@@ -69,6 +69,49 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     assert(report.forall(_._4), s"all expected errors found: $report")
   }
 
+  test("string-API raw semantics match the reference HashMap<String,String> exactly") {
+    // distinct SPELLINGS of one numeric ts coexist and bucket-SUM at load
+    // (the reference keys raw entries by the ts string; "0100" and "100"
+    // are two map entries whose parsed buckets collide in processData)
+    val t0 = 1434880000L - 1434880000L % 60
+    val ref = new MutableDataLoader("spec")
+    val mine = new MutableSeriesSource("spec")
+    def addAll(add: (String, String) => Unit): Unit = {
+      for (i <- 0 until 40) add((t0 + i * 60L).toString, "100.0")
+      add("0" + t0.toString, "7.5") // alias of the first ts: must SUM, not overwrite
+      add(t0.toString, "50.0") // identical spelling: must OVERWRITE the 100.0
+    }
+    addAll(ref.addData("regular", _, _))
+    addAll(mine.addData("regular", _, _))
+    ref.load()
+    val tsField = classOf[AbstractDataLoader].getDeclaredField("timeseries")
+    tsField.setAccessible(true)
+    val refPts = tsField
+      .get(ref)
+      .asInstanceOf[java.util.HashMap[String, Timeseries]]
+      .asScala("regular")
+      .getData
+      .asScala
+      .map { case (k, v) => k.longValue() -> v.doubleValue() }
+      .toMap
+    val minePts = mine.load().processedSeries("regular")
+    assert(minePts == refPts, "alias-sum + overwrite parity")
+    assert(minePts(t0) == 57.5, s"bucket $t0: 50.0 overwrite + 7.5 alias")
+
+    // ts parsing is STRICT at load (reference Long.parseLong, no trim) while
+    // values tolerate surrounding whitespace (Double.parseDouble trims)
+    val bad = new MutableSeriesSource("spec")
+    bad.addData("regular", " 100", "1.0") // accepted at add...
+    intercept[NumberFormatException] { bad.load() } // ...throws at load like the reference
+    val refBad = new MutableDataLoader("spec")
+    refBad.addData("regular", " 100", "1.0")
+    intercept[NumberFormatException] { refBad.load() }
+    val ws = new MutableSeriesSource("spec")
+    for (i <- 0 until 20)
+      ws.addData("regular", (120 + i * 60).toString, if (i == 0) " 1.5 " else "1.5")
+    assert(ws.load().processedSeries("regular").values.sum == 30.0)
+  }
+
   test("settings wiring: rollup/forecast_periods/gap_fill/normalization → EngineConfig") {
     val cfg = EngineConfig.fromSettings(
       Map(
