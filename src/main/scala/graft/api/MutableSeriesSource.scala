@@ -42,6 +42,14 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   def addData(serie: String, ts: Long, value: Double): Unit =
     addData(serie, ts.toString, value.toString)
 
+  /** bulk add (`MutableDataLoader.addData(serie, HashMap)`): putAll — every
+    * entry lands as if added individually; existing spellings overwrite
+    */
+  def addData(serie: String, values: Map[String, String]): Unit = {
+    val m = rawSeries.getOrElseUpdate(serie, mutable.Map.empty)
+    values.foreach { case (t, v) => m(t) = v }
+  }
+
   def addExpectedError(ts: Long): Unit = expectedErrors += ts
 
   def addExpectedErrors(ts: Seq[Long]): Unit = expectedErrors ++= ts
@@ -75,6 +83,11 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
     */
   def processedSeries: Map[String, Map[Long, Double]] =
     processedOrLoad().series.view.mapValues(_.data.iterator.map(p => p.ts -> p.v).toMap).toMap
+
+  /** final bucket resolution after the auto-rollup ladder (the reference's
+    * `targetTsStepResolution` once `load()` ran)
+    */
+  def resolution: Long = processedOrLoad().resolution
 
   private def processedOrLoad(): ScopePipeline.Processed = {
     if (processed.isEmpty) load()

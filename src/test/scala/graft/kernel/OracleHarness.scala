@@ -46,6 +46,13 @@ object OracleHarness {
   def loadPath(path: String): OracleRun = {
     val dl = new FileDataLoader(path)
     dl.load()
+    wrap(dl)
+  }
+
+  /** Wrap an already-`load()`ed reference loader of any kind (file or
+    * mutable) for differential comparison.
+    */
+  def wrap(dl: AbstractDataLoader): OracleRun = {
     val f = classOf[AbstractDataLoader].getDeclaredField("timeseries")
     f.setAccessible(true)
     val m = f.get(dl).asInstanceOf[java.util.HashMap[String, Timeseries]].asScala.toMap
