@@ -31,7 +31,39 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   private var processed: Option[ScopePipeline.Processed] = None
   private var flags: Option[Seq[Flag]] = None
 
-  def setConfig(key: String, value: String): Unit = settings(key) = value
+  // the reference applies these two fields EAGERLY in their setters, so the
+  // LAST mutation wins regardless of which API spelled it
+  // (`AbstractDataLoader.java:57-72`); everything else resolves in `config`
+  private var resolutionOverride: Option[Long] = None
+  private var forecastOverride: Option[Long] = None
+
+  /** `AbstractDataLoader.setConfig`: stores the setting; ONLY `rollup`
+    * (case-insensitive) is applied — parsed EAGERLY, so a malformed value
+    * throws here, not at `load()` (`AbstractDataLoader.java:57-62`). Every
+    * other key — including `forecast_periods` — is stored but inert, exactly
+    * like the reference (only [[setForecastPeriods]] changes that field).
+    */
+  def setConfig(key: String, value: String): Unit = {
+    settings(key) = value
+    if (key.equalsIgnoreCase("rollup")) resolutionOverride = Some(java.lang.Long.parseLong(value))
+  }
+
+  /** `AbstractDataLoader.setForecastPeriods`: the ONLY way a reference user
+    * changes the train/classify split (`AbstractDataLoader.java:64-67`)
+    */
+  def setForecastPeriods(x: Int): Unit = {
+    settings("forecast_periods") = x.toString
+    forecastOverride = Some(x.toLong)
+  }
+
+  /** `AbstractDataLoader.setDesiredTimeResolution`
+    * (`AbstractDataLoader.java:69-72`): same field as `setConfig("rollup")`,
+    * last call wins
+    */
+  def setDesiredTimeResolution(x: Int): Unit = {
+    settings("desired_time_resolution") = x.toString
+    resolutionOverride = Some(x.toLong)
+  }
 
   /** reference-style string API (`MutableDataLoader.addData(serie, ts, val)`):
     * the raw spelling is KEPT; malformed tokens surface at load, not here
@@ -54,8 +86,16 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
 
   def addExpectedErrors(ts: Seq[Long]): Unit = expectedErrors ++= ts
 
-  /** effective config = base overridden by `setConfig` settings (S3 wiring) */
-  def config: EngineConfig = EngineConfig.fromSettings(settings.toMap, baseConfig)
+  /** effective config = base + extension settings ([[EngineConfig.fromSettings]])
+    * + the eagerly-applied reference fields, which carry LAST-mutation-wins
+    * semantics that a map can't (e.g. `setConfig("rollup", …)` after
+    * `setDesiredTimeResolution` overwrites it, and vice versa)
+    */
+  def config: EngineConfig = {
+    val c = EngineConfig.fromSettings(settings.toMap, baseConfig)
+    val cr = resolutionOverride.fold(c)(r => c.copy(resolution = r))
+    forecastOverride.fold(cr)(f => cr.copy(forecastPeriods = f))
+  }
 
   /** `AbstractDataLoader.load()`: process all series (bucket → gap-fill →
     * alert policy → rollup ladder → error_rate → auto-normalize).

@@ -91,7 +91,12 @@ object EngineConfig {
     * but ignored by the reference's settings path (only the programmatic
     * `setDesiredTimeResolution` applies it) — here it is honored as an
     * ergonomic extension when `rollup` is absent.
-    * Other reference-honored keys: `forecast_periods` (setForecastPeriods).
+    * `forecast_periods` is deliberately INERT here, exactly like the
+    * reference's settings path: `setConfig` stores it but never applies it —
+    * only the programmatic `setForecastPeriods` changes the field
+    * (`AbstractDataLoader.java:64-67`), mirrored by
+    * [[graft.api.MutableSeriesSource.setForecastPeriods]] and the
+    * `forecastPeriods` field of `base`.
     * Extensions (the reference's normalization mode is a hardcoded
     * "@todo Configure" field, `AbstractDataLoader.java:31`): `normalization`
     * (none|log|log10|log1p|sqrt), `gap_fill` (zero|locf|linear), `min_score`.
@@ -110,7 +115,7 @@ object EngineConfig {
       .foreach(v => cfg = cfg.copy(resolution = v.toLong))
     for ((k, v) <- ordered) k.toLowerCase match {
       case "rollup" | "desired_time_resolution" => () // applied above with fixed precedence
-      case "forecast_periods"                   => cfg = cfg.copy(forecastPeriods = v.toLong)
+      case "forecast_periods"                   => () // stored-but-inert, like reference setConfig
       case "min_score"                          => cfg = cfg.copy(minScore = v.toDouble)
       case "normalization" =>
         cfg = cfg.copy(normalization = v.toLowerCase match {

@@ -123,9 +123,15 @@ class MutableSeriesSourceSpec extends SparkTestBase {
         "unknown_key" -> "ignored"
       )
     )
-    assert(cfg.resolution == 300L && cfg.forecastPeriods == 5L)
+    // forecast_periods via a settings MAP is stored-but-inert, exactly the
+    // reference's setConfig (AbstractDataLoader.java:57-62 applies only
+    // rollup); the default 10 stands
+    assert(cfg.resolution == 300L && cfg.forecastPeriods == 10L)
     assert(cfg.gapFill == GapFillMode.Locf && cfg.normalization == NormalizationMode.Sqrt)
     assert(cfg.minScore == 2.5)
+    // ... and a non-numeric forecast_periods value never throws (inert means
+    // unparsed, like the reference)
+    assert(EngineConfig.fromSettings(Map("forecast_periods" -> "x1.5")).forecastPeriods == 10L)
     // the .settings sidecar path end-to-end (real_test_2 carries rollup=300)
     val sidecar = graft.sources.TsvSource.readSettings(
       spark,
@@ -144,6 +150,26 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     assert(EngineConfig.fromSettings(Map("rollup" -> "300", "desired_time_resolution" -> "600")).resolution == 300L)
     assert(EngineConfig.fromSettings(Map("desired_time_resolution" -> "600")).resolution == 600L)
     assert(EngineConfig.fromSettings(Map("ROLLUP" -> "120")).resolution == 120L)
+    // programmatic setters mirror the reference's EAGER field writes:
+    // the LAST mutation wins between setConfig("rollup") and
+    // setDesiredTimeResolution (AbstractDataLoader.java:57-72), unlike the
+    // fixed map precedence above; forecast_periods changes ONLY via
+    // setForecastPeriods; a malformed rollup value throws AT setConfig
+    val m1 = new MutableSeriesSource("s")
+    m1.setDesiredTimeResolution(600)
+    m1.setConfig("Rollup", "300") // case-insensitive, like equalsIgnoreCase
+    assert(m1.config.resolution == 300L)
+    val m2 = new MutableSeriesSource("s")
+    m2.setConfig("rollup", "300")
+    m2.setDesiredTimeResolution(600)
+    assert(m2.config.resolution == 600L)
+    m2.setConfig("forecast_periods", "5") // stored, inert
+    assert(m2.config.forecastPeriods == 10L)
+    m2.setForecastPeriods(5)
+    assert(m2.config.forecastPeriods == 5L)
+    intercept[NumberFormatException] { m2.setConfig("rollup", "5m") }
+    val refEager = new MutableDataLoader("s")
+    intercept[NumberFormatException] { refEager.setConfig("rollup", "5m") }
   }
 
   test("O4 DataFrame normalize == kernel normalizeValue for every mode") {

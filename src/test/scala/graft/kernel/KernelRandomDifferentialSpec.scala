@@ -227,6 +227,19 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     assert(errBranches.values.toSet == Set("clean", "npe"), s"branches per fixture: $errBranches")
   }
 
+  test("the sweep covers reference-INERT settings keys in both spellings") {
+    // forecast_periods (numeric — would shift the train/classify split if
+    // wrongly honored — and non-numeric, which must never throw) plus an
+    // unknown key: the reference's setConfig stores all of them unapplied
+    // (`AbstractDataLoader.java:57-62`), and the per-fixture parity tests
+    // above prove we do too. This pin keeps the generator honest.
+    val settings = (0 until 10).map(i => OracleHarness.settingsAt(RandomFixtures.path(i)))
+    val fp = settings.flatMap(_.get("forecast_periods"))
+    assert(fp.exists(v => scala.util.Try(v.toLong).isSuccess), s"no numeric forecast_periods in sweep: $settings")
+    assert(fp.exists(v => scala.util.Try(v.toLong).isFailure), s"no non-numeric forecast_periods in sweep: $settings")
+    assert(settings.exists(_.contains("zz_unknown")), s"no unknown key in sweep: $settings")
+  }
+
   test("the random sweep is non-vacuous: several fixtures produce validated outliers") {
     // registered after (and depends on) the per-fixture tests above; skip
     // rather than fail if the suite was filtered down to this test alone

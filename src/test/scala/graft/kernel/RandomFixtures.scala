@@ -6,9 +6,11 @@ import scala.util.Random
   * differential suites ([[KernelRandomDifferentialSpec]],
   * `graft.spark.SparkRandomDetectSpec`): random-walk values with spikes,
   * ~15% gaps, same-bucket duplicate rows, exact-duplicate timestamps,
-  * optional error series, optional `.settings` rollup overrides, and
-  * magnitudes spanning 1× to 1e6× so the auto-log-normalize path triggers
-  * on some seeds.
+  * optional error series, optional `.settings` rollup overrides plus
+  * reference-inert settings keys (`forecast_periods`, unknown keys — stored
+  * but never applied by `AbstractDataLoader.setConfig`), and magnitudes
+  * spanning 1× to 1e6× so the auto-log-normalize path triggers on some
+  * seeds.
   *
   * Raw values are DYADIC (0.25 steps): the reference's initial bucket sum
   * runs in JDK-HashMap iteration order of the raw ts strings while the
@@ -127,13 +129,24 @@ object RandomFixtures {
     }
     val f = dir.resolve(s"kr_$i.tsv")
     java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
-    if (rnd.nextDouble() < 0.4) {
-      val rollup = step * (1 + rnd.nextInt(5))
+    val settingsEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (rnd.nextDouble() < 0.4)
+      settingsEntries += s""""rollup":${step * (1 + rnd.nextInt(5))}""" // draw order unchanged
+    // keys the reference's settings path STORES BUT NEVER APPLIES (setConfig
+    // honors only rollup, `AbstractDataLoader.java:57-62`): forecast_periods
+    // would shift the train/classify split if wrongly honored (≠ default 10),
+    // and its non-numeric spelling pins that inert means UNPARSED (the
+    // reference never throws on it). Drawn AFTER every pre-existing rnd use,
+    // so memoized fixture data and rollup values are byte-identical.
+    if (rnd.nextDouble() < 0.5)
+      // spelling alternates by INDEX (not a draw) so both always appear
+      settingsEntries += s""""forecast_periods":${if (i % 2 == 0) "3" else "\"x1.5\""}"""
+    if (rnd.nextDouble() < 0.3) settingsEntries += s""""zz_unknown":${rnd.nextInt(9)}"""
+    if (settingsEntries.nonEmpty)
       java.nio.file.Files.write(
         dir.resolve(s"kr_$i.tsv.settings"),
-        s"""{"rollup":$rollup}""".getBytes("UTF-8")
+        ("{" + settingsEntries.mkString(",") + "}").getBytes("UTF-8")
       )
-    }
     f.toString
   }
 }

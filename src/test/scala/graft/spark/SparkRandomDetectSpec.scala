@@ -56,8 +56,10 @@ class SparkRandomDetectSpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     val cfg = EngineConfig()
-    // only fixtures without a .settings override can share one cfg
-    val eligible = (0 until 10).filter(i => OracleHarness.settingsAt(RandomFixtures.path(i)).isEmpty)
+    // only fixtures whose .settings resolve to the default config can share
+    // one cfg (inert-key-only sidecars qualify — see RandomFixtures)
+    val eligible =
+      (0 until 10).filter(i => EngineConfig.fromSettings(OracleHarness.settingsAt(RandomFixtures.path(i))) == cfg)
     assert(eligible.size >= 3, s"sweep needs several settings-free fixtures, got $eligible")
     val raws = eligible.map(i => i -> OracleHarness.parseTsvAt(RandomFixtures.path(i))).toMap
 
