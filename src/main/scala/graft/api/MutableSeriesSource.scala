@@ -31,6 +31,8 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   private var processed: Option[ScopePipeline.Processed] = None
   private var flags: Option[Seq[Flag]] = None
 
+  settings("name") = name // `MutableDataLoader(name)` ctor: setConfig("name", name)
+
   // the reference applies these two fields EAGERLY in their setters, so the
   // LAST mutation wins regardless of which API spelled it
   // (`AbstractDataLoader.java:57-72`); everything else resolves in `config`
@@ -47,6 +49,9 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
     settings(key) = value
     if (key.equalsIgnoreCase("rollup")) resolutionOverride = Some(java.lang.Long.parseLong(value))
   }
+
+  /** `AbstractDataLoader.getConfig(k, d)` (`AbstractDataLoader.java:74-76`) */
+  def getConfig(key: String, default: String): String = settings.getOrElse(key, default)
 
   /** `AbstractDataLoader.setForecastPeriods`: the ONLY way a reference user
     * changes the train/classify split (`AbstractDataLoader.java:64-67`)

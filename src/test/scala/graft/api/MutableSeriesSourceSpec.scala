@@ -170,6 +170,14 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     intercept[NumberFormatException] { m2.setConfig("rollup", "5m") }
     val refEager = new MutableDataLoader("s")
     intercept[NumberFormatException] { refEager.setConfig("rollup", "5m") }
+    // getConfig + ctor name storage parity (the MutableDataLoader ctor does
+    // setConfig("name", name), AbstractDataLoader.java:74-76)
+    val g = new MutableSeriesSource("gcfg")
+    val refG = new MutableDataLoader("gcfg")
+    assert(g.getConfig("name", "") == refG.getConfig("name", ""))
+    assert(g.getConfig("missing", "d") == refG.getConfig("missing", "d"))
+    g.setConfig("k", "v"); refG.setConfig("k", "v")
+    assert(g.getConfig("k", "") == refG.getConfig("k", ""))
   }
 
   test("O4 DataFrame normalize == kernel normalizeValue for every mode") {
