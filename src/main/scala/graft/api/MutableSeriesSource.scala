@@ -94,23 +94,28 @@ final class MutableSeriesSource(name: String, baseConfig: EngineConfig = EngineC
   /** effective config = base + extension settings ([[EngineConfig.fromSettings]])
     * + the eagerly-applied reference fields, which carry LAST-mutation-wins
     * semantics that a map can't (e.g. `setConfig("rollup", …)` after
-    * `setDesiredTimeResolution` overwrites it, and vice versa)
+    * `setDesiredTimeResolution` overwrites it, and vice versa).
+    * `desired_time_resolution` is dropped before `fromSettings` (whose
+    * rollup-absent fallback on it is a SIDECAR-path extension): on this
+    * reference-mirroring API the key is inert via `setConfig`, exactly like
+    * the reference, and applies only through [[setDesiredTimeResolution]] —
+    * whose effect rides on `resolutionOverride`, not the map.
     */
   def config: EngineConfig = {
-    val c = EngineConfig.fromSettings(settings.toMap, baseConfig)
+    val c = EngineConfig.fromSettings(settings.toMap.filter(!_._1.equalsIgnoreCase("desired_time_resolution")), baseConfig)
     val cr = resolutionOverride.fold(c)(r => c.copy(resolution = r))
     forecastOverride.fold(cr)(f => cr.copy(forecastPeriods = f))
   }
 
-  /** `AbstractDataLoader.load()`: process all series (bucket → gap-fill →
-    * alert policy → rollup ladder → error_rate → auto-normalize).
-    */
   /** one raw entry parsed the way `AbstractDataLoader.processData` does
     * (`AbstractDataLoader.java:130-136`)
     */
   private def parseEntry(t: String, v: String): Pt =
     Pt(java.lang.Long.parseLong(t), java.lang.Double.parseDouble(v))
 
+  /** `AbstractDataLoader.load()`: process all series (bucket → gap-fill →
+    * alert policy → rollup ladder → error_rate → auto-normalize).
+    */
   def load(): this.type = {
     val raw: Map[String, Iterable[Pt]] =
       rawSeries.toMap.map { case (serie, m) =>

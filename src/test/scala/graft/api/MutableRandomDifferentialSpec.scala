@@ -92,12 +92,31 @@ class MutableRandomDifferentialSpec extends AnyFunSuite {
   private val validatedCounts = scala.collection.mutable.Map.empty[Int, Int]
   private val errBranches = scala.collection.mutable.Map.empty[Int, String]
 
+  /** events + loaded-and-analyzed MutableSeriesSource per fixture, shared by
+    * the two per-fixture tests (like KernelRandomDifferentialSpec.kernelRun):
+    * each test stays self-sufficient under filtering, but a full-suite run
+    * builds and analyzes our side once instead of twice. The REFERENCE
+    * loaders are NOT shared — the expected-errors test must add its picks
+    * before load(), so each test needs its own.
+    */
+  private val mineMemo =
+    scala.collection.mutable.Map.empty[Int, (Seq[(String, String, String)], Range, MutableSeriesSource, Seq[graft.model.Flag])]
+  private def mineRun(i: Int): (Seq[(String, String, String)], Range, MutableSeriesSource, Seq[graft.model.Flag]) =
+    mineMemo.synchronized {
+      mineMemo.getOrElseUpdate(
+        i, {
+          val (evs, bulk) = events(i)
+          val mine = mineLoader(i, evs, bulk)
+          mine.load()
+          val flags = mine.analyze(AnalyzerRegistry.oracleSubset)
+          (evs, bulk, mine, flags)
+        }
+      )
+    }
+
   for (i <- 0 until 10) {
     test(s"mutable fixture $i: processed points, resolution, and validate(1) match the reference") {
-      val (evs, bulk) = events(i)
-      val mine = mineLoader(i, evs, bulk)
-      mine.load()
-      mine.analyze(AnalyzerRegistry.oracleSubset)
+      val (evs, bulk, mine, _) = mineRun(i)
       val mineValidated = mine.validate(1).toMap
 
       // reference loaded WITHOUT expected errors: plain validate parity
@@ -125,27 +144,19 @@ class MutableRandomDifferentialSpec extends AnyFunSuite {
     }
 
     test(s"mutable fixture $i: addExpectedError report + reference crash parity") {
-      val (evs, bulk) = events(i)
-      val mine = mineLoader(i, evs, bulk)
-      mine.load()
-      val outlierTs = mine.analyze(AnalyzerRegistry.oracleSubset).filter(_.isOutlier).map(_.ts).distinct.sorted
+      val (evs, bulk, mine, flags) = mineRun(i)
+      val outlierTs = flags.filter(_.isOutlier).map(_.ts).distinct.sorted
 
-      // picks from the two pools of RandomFixtures.errorsPath: aimed at
-      // kernel outlier buckets (in-bucket offsets collapse back in the
-      // rebucket), and raw ts that usually carry no outlier record (the
-      // reference's NPE-unbox pool)
+      // shared two-pool pick generator (RandomFixtures.pickExpectedErrors):
+      // aimed at kernel outlier buckets (in-bucket offsets collapse back in
+      // the rebucket), and raw ts that usually carry no outlier record (the
+      // reference's NPE-unbox pool); npeProb differs from the sidecar sweep
+      // so the two suites land on different branch mixes
       val rnd = new Random((6400L + i) * 0x9E3779B97F4A7C15L)
-      val res = mine.resolution
-      val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
-      if (outlierTs.nonEmpty)
-        for (_ <- 0 to rnd.nextInt(3)) picks += outlierTs(rnd.nextInt(outlierTs.size)) + rnd.nextInt(res.toInt)
-      if (rnd.nextDouble() < 0.55 || picks.isEmpty) {
-        val dataTs = evs.map(_._2.trim.toLong).distinct.sorted
-        for (_ <- 0 to rnd.nextInt(2)) picks += dataTs(rnd.nextInt(dataTs.size)) + rnd.nextInt(30)
-        if (rnd.nextBoolean()) picks += dataTs.max + 86400L
-      }
+      val dataTs = evs.map(_._2.trim.toLong).distinct.sorted.toIndexedSeq
+      val picks = RandomFixtures.pickExpectedErrors(rnd, outlierTs, mine.resolution, dataTs, npeProb = 0.55)
 
-      mine.addExpectedErrors(picks.toSeq)
+      mine.addExpectedErrors(picks)
       val report = mine.expectedReport()
 
       // a fresh reference loader carrying the same picks (its rebucket runs

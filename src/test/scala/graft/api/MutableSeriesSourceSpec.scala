@@ -167,6 +167,12 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     assert(m2.config.forecastPeriods == 10L)
     m2.setForecastPeriods(5)
     assert(m2.config.forecastPeriods == 5L)
+    // the desired_time_resolution KEY is likewise inert via setConfig on
+    // this reference-mirroring API (the fromSettings fallback on it is a
+    // sidecar-path extension only) — the programmatic setter alone applies it
+    val m3 = new MutableSeriesSource("s")
+    m3.setConfig("Desired_Time_Resolution", "600")
+    assert(m3.config.resolution == 60L)
     intercept[NumberFormatException] { m2.setConfig("rollup", "5m") }
     val refEager = new MutableDataLoader("s")
     intercept[NumberFormatException] { refEager.setConfig("rollup", "5m") }

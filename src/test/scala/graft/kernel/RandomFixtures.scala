@@ -68,23 +68,12 @@ object RandomFixtures {
             Files.copy(settings, Paths.get(f.toString + ".settings"), StandardCopyOption.REPLACE_EXISTING)
           import scala.jdk.CollectionConverters._
           val dataTs = Files.readAllLines(base).asScala.drop(1).map(_.split("\t")(0).trim.toLong).toIndexedSeq
-          val flagged = outlierTs.distinct.sorted.toIndexedSeq
-          val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
-          if (flagged.nonEmpty)
-            for (_ <- 0 to rnd.nextInt(3))
-              picks += flagged(rnd.nextInt(flagged.size)) + rnd.nextInt(resolution.toInt)
-          // unflagged picks (the NPE pool) on ~60% of seeds, or as a fallback
-          // so the sidecar is never empty
-          if (rnd.nextDouble() < 0.6 || picks.isEmpty) {
-            for (_ <- 0 to rnd.nextInt(2))
-              picks += dataTs(rnd.nextInt(dataTs.size)) + rnd.nextInt(30)
-            if (rnd.nextBoolean()) picks += dataTs.max + 86400L
-          }
+          val picks = pickExpectedErrors(rnd, outlierTs, resolution, dataTs, npeProb = 0.6)
           Files.write(
             Paths.get(f.toString + ".errors"),
             s"""{"errors":[${picks.mkString(",")}]}""".getBytes("UTF-8")
           )
-          (f.toString, picks.toSeq, outlierTs, resolution)
+          (f.toString, picks, outlierTs, resolution)
         }
       )
       require(
@@ -93,6 +82,34 @@ object RandomFixtures {
       )
       (p, picks)
     }
+
+  /** seed-driven expected-error picks from the two pools (shared with
+    * `graft.api.MutableRandomDifferentialSpec`, which uses a different
+    * `npeProb`): offsets onto kernel-flagged buckets (collapse back in the
+    * reference's rebucket+dedupe, `AbstractDataLoader.java:400-409`), and —
+    * on ~`npeProb` of seeds, or as a fallback so picks are never empty —
+    * raw data-line ts that usually carry no outlier record (the reference's
+    * NPE-unbox pool), plus an out-of-range tail.
+    */
+  def pickExpectedErrors(
+      rnd: Random,
+      outlierTs: Seq[Long],
+      resolution: Long,
+      dataTs: IndexedSeq[Long],
+      npeProb: Double
+  ): Seq[Long] = {
+    val flagged = outlierTs.distinct.sorted.toIndexedSeq
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (flagged.nonEmpty)
+      for (_ <- 0 to rnd.nextInt(3))
+        picks += flagged(rnd.nextInt(flagged.size)) + rnd.nextInt(resolution.toInt)
+    if (rnd.nextDouble() < npeProb || picks.isEmpty) {
+      for (_ <- 0 to rnd.nextInt(2))
+        picks += dataTs(rnd.nextInt(dataTs.size)) + rnd.nextInt(30)
+      if (rnd.nextBoolean()) picks += dataTs.max + 86400L
+    }
+    picks.toSeq
+  }
 
   private def writeFixture(rnd: Random, i: Int): String = {
     val step = if (rnd.nextBoolean()) 60L else 300L
