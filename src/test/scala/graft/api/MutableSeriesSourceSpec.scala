@@ -186,6 +186,53 @@ class MutableSeriesSourceSpec extends SparkTestBase {
     assert(g.getConfig("k", "") == refG.getConfig("k", ""))
   }
 
+  test("asymmetric regular/error spans: crash parity and superset-error derive vs reference") {
+    // Only the mutable API can produce regular/error series with different
+    // ts spans (every TSV data line carries all columns). Gap fill runs per
+    // series over its OWN min..max, so when `regular` starts EARLIER than
+    // `error`, _deriveErrorRate reads a missing error bucket and the
+    // reference NPE-unboxes (`AbstractDataLoader.java:246-248`); our kernel
+    // crashes at the same point (SeriesKernel.errorRate map lookup).
+    def feedAsym(single: (String, String, String) => Unit): Unit = {
+      for (i <- 0 until 40) single("regular", (1700000000L + i * 60L).toString, "100.0")
+      for (i <- 10 until 40) single("error", (1700000000L + i * 60L).toString, "50.0")
+    }
+    val mine = new MutableSeriesSource("asym")
+    feedAsym(mine.addData)
+    intercept[NoSuchElementException] { mine.load() }
+    val ref = new MutableDataLoader("asym")
+    feedAsym(ref.addData)
+    intercept[NullPointerException] { ref.load() }
+
+    // Superset direction: `error` spans WIDER than `regular` → derivation
+    // succeeds, iterating regular's grid; the extra error buckets are
+    // ignored. Points and end-to-end validate must match the reference.
+    def feedSup(single: (String, String, String) => Unit): Unit = {
+      for (i <- 10 until 40) single("regular", (1700000000L + i * 60L).toString, s"${100 + i}.0")
+      for (i <- 0 until 50) single("error", (1700000000L + i * 60L).toString, s"${40 + i}.0")
+    }
+    val mineS = new MutableSeriesSource("sup")
+    feedSup(mineS.addData)
+    mineS.load()
+    val refS = new MutableDataLoader("sup")
+    feedSup(refS.addData)
+    refS.load()
+    val run = graft.kernel.OracleHarness.wrap(refS)
+    assert(mineS.processedSeries.keySet == run.series.keySet)
+    assert(mineS.processedSeries.keySet.contains("error_rate"), "superset-error must derive error_rate")
+    for ((name, pts) <- mineS.processedSeries) {
+      val refPts = run.series(name).getData.asScala.map { case (k, v) => k.longValue() -> v.doubleValue() }.toMap
+      assert(pts == refPts, s"series $name points")
+    }
+    mineS.analyze(AnalyzerRegistry.oracleSubset)
+    refS.analyze(referenceAnalyzers())
+    val refV = refS.validate(1).asScala.map(v => v.getTs -> v.getScore).toMap
+    val mineV = mineS.validate(1).toMap
+    assert(mineV.keySet == refV.keySet, "validated ts sets")
+    for ((ts, s) <- mineV)
+      assert(math.abs(s - refV(ts)) <= 1e-9 * math.max(1.0, math.abs(refV(ts))), s"score at $ts")
+  }
+
   test("O4 DataFrame normalize == kernel normalizeValue for every mode") {
     val s = spark
     import s.implicits._
