@@ -41,8 +41,9 @@ object SparkEntry {
     }.getOrElse(java.nio.file.Paths.get("target/fixtures").toAbsolutePath.toString)
     // version suffix: bump when syntheticMedia's content changes so a stale
     // materialization from an older build is never picked up (v2 = real
-    // WAVs; v3 = golden expected_f0/expected_dims feature columns)
-    s"$base/media_corpus_v3.parquet"
+    // WAVs; v3 = golden expected_f0/expected_dims feature columns; v4 =
+    // real AVI video rows + golden expected_frame_bytes column)
+    s"$base/media_corpus_v4.parquet"
   }
 
   private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
@@ -62,7 +63,23 @@ object SparkEntry {
           round(element_at(col("embedding"), 1), 4).as("expected_f0"),
           size(col("embedding")).as("expected_dims")
         )
-      docs.toDF().join(expected, Seq("doc_id")).coalesce(1).write.mode("overwrite").parquet(mediaFixturePath)
+      // golden sampled-frame byte sums for the REAL-decode AVI rows (q25):
+      // their frame payload sizes come out of the container, not SQL-
+      // expressible arithmetic; the stub mp4 rows keep a fully independent
+      // integer-arithmetic oracle, so only video/avi reads this column
+      val expectedFrames = MediaOps
+        .sampleFrames(docs, everyMs = 5000)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(sum(length(col("frame"))).as("expected_frame_bytes"))
+      docs
+        .toDF()
+        .join(expected, Seq("doc_id"))
+        .join(expectedFrames, Seq("doc_id"), "left")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(mediaFixturePath)
     }
     s.read.parquet(mediaFixturePath).as[graft.multimodal.MediaOps.MediaDoc]
   }
@@ -413,11 +430,12 @@ object SparkEntry {
     }),
 
     // multimodal: batched feature extraction over binary media columns —
-    // REAL decode for image (javax.imageio) and audio (javax.sound.sampled
-    // WAV) rows; only video remains a marked stub (no H.264/VP9 decoder in
-    // the JDK). Pixel math isn't SQL-expressible, so the oracle compares the
-    // LIVE decode against golden feature columns frozen into the fixture at
-    // materialization time (parquet-vs-parquet).
+    // REAL decode for image (javax.imageio), audio (javax.sound.sampled
+    // WAV), and AVI video rows (VideoCodec: RIFF + MJPEG/raw-DIB frames);
+    // only codec-less mp4 rows remain a marked stub (no H.264/VP9 decoder
+    // in the JDK). Pixel math isn't SQL-expressible, so the oracle compares
+    // the LIVE decode against golden feature columns frozen into the
+    // fixture at materialization time (parquet-vs-parquet).
     "q24_media_features" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps
@@ -425,8 +443,9 @@ object SparkEntry {
         .select(col("vec_id"), round(element_at(col("embedding"), 1), 4).as("f0"), size(col("embedding")).as("dims"))
     }),
 
-    // multimodal: video frame sampling from duration metadata, over the
-    // parquet-materialized corpus (frame arithmetic is pure SQL → oracled)
+    // multimodal: video frame sampling over the parquet-materialized corpus
+    // — REAL container frames for AVI rows, stub byte slices for mp4; the
+    // shared frame-count rule is pure SQL, AVI byte sums are golden-frozen
     "q25_frame_sample" -> ((s, dir) => {
       import graft.multimodal.MediaOps
       MediaOps
@@ -1005,20 +1024,29 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
-    // q25: frame sampling over the materialized media corpus — n/chunk/
-    // slice arithmetic (sampleFrames) re-expressed as integer SQL; oracle
-    // reads the SAME parquet rows Spark read
+    // q25: frame sampling over the materialized media corpus. Stub mp4 rows:
+    // the n/chunk/slice arithmetic (sampleFrames) re-expressed as integer
+    // SQL — a fully independent oracle. REAL-decode video/avi rows: the
+    // frame COUNT stays the same independent duration arithmetic, but the
+    // sampled payload sizes come out of the AVI container, so their byte
+    // sums compare against the golden column frozen at materialization
+    // (the q24 pattern). Oracle reads the SAME parquet rows Spark read.
     "q25_frame_sample" ->
       s"""WITH v AS (SELECT doc_id, octet_length(media) AS len, duration_ms
-        |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime LIKE 'video/%'),
+        |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime = 'video/mp4'),
         |c AS (SELECT doc_id, len, greatest(duration_ms // 5000, 1) AS n,
         |             greatest(len // greatest(duration_ms // 5000, 1), 1) AS chunk FROM v),
         |f AS (SELECT doc_id,
         |             least(i*chunk, greatest(len-1, 0)) AS fr,
         |             least(least(i*chunk, greatest(len-1, 0)) + chunk, len) AS un
-        |      FROM c, unnest(generate_series(0, n-1)) AS t(i))
-        |SELECT doc_id, count(*) AS n_frames, CAST(sum(un - fr) AS BIGINT) AS bytes
-        |FROM f GROUP BY 1""".stripMargin,
+        |      FROM c, unnest(generate_series(0, n-1)) AS t(i)),
+        |stub AS (SELECT doc_id, count(*) AS n_frames, CAST(sum(un - fr) AS BIGINT) AS bytes
+        |         FROM f GROUP BY 1)
+        |SELECT * FROM stub
+        |UNION ALL
+        |SELECT doc_id, greatest(duration_ms // 5000, 1) AS n_frames,
+        |       CAST(expected_frame_bytes AS BIGINT) AS bytes
+        |FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime = 'video/avi'""".stripMargin,
     // q44: S4 programmatic source — the oracle regenerates the same
     // deterministic adds in SQL (VALUES-equivalent via generate_series),
     // proving the addData/overwrite/toPoints bridge end-to-end

@@ -53,8 +53,13 @@ object ImageCodec {
     * [0,1]) of `dims` horizontal bands — a real, deterministic pixel-space
     * feature with the same shape FakeCodec emits for the other modalities.
     */
-  def features(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
-    val img = decode(bytes)
+  def features(bytes: Array[Byte], dims: Int = 8): Array[Float] =
+    featuresOf(decode(bytes), dims)
+
+  /** the same band-luma feature over an already-decoded image (shared with
+    * [[VideoCodec]], whose frames arrive as `BufferedImage`s)
+    */
+  def featuresOf(img: BufferedImage, dims: Int): Array[Float] = {
     val w = img.getWidth
     val h = img.getHeight
     val acc = new Array[Double](dims)

@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * real codec would amortize its setup per batch exactly like a Pandas UDF).
   *
   * IMAGE decode is REAL (`ImageCodec`, JDK `javax.imageio`: bytes → pixels
-  * → luma features + nearest-neighbor resize) and AUDIO decode is REAL
+  * → luma features + nearest-neighbor resize), AUDIO decode is REAL
   * (`AudioCodec`, JDK `javax.sound.sampled`: WAV → PCM samples → band RMS
-  * features). Only VIDEO byte→frames decode remains a clearly marked STUB
-  * (`FakeCodec`): the JDK has no H.264/VP9 decoder, so it is a
+  * features), and VIDEO decode is REAL for the AVI container
+  * (`VideoCodec`: RIFF parsing + per-frame JPEG via `javax.imageio` for
+  * MJPEG, raw bottom-up BGR rows for uncompressed BI_RGB). Only video
+  * formats whose bitstreams have no offline decoder (H.264/VP9 in
+  * MP4/WebM) remain on the clearly marked STUB (`FakeCodec`), a
   * deterministic pure function of the bytes. The surrounding dataflow —
   * schema, partitioning, batch iteration, feature/resize/frame-sample
-  * plans — is identical for all three; swapping FakeCodec for e.g. a JNI
-  * ffmpeg binding changes no plan shape.
+  * plans — is identical for all modalities; swapping FakeCodec for e.g. a
+  * JNI ffmpeg binding changes no plan shape.
   */
 object MediaOps {
 
@@ -34,12 +37,13 @@ object MediaOps {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ======== STUB BOUNDARY (VIDEO only — images use ImageCodec, audio uses
-    * AudioCodec) ==============================================================
-    * A real implementation decodes container bytes with a video codec. This
-    * deterministic fake stands in: "frames" are byte slices, features are a
-    * fixed-width fold of the bytes. Replace with a codec binding;
-    * signatures stay identical.
+  /** ======== STUB BOUNDARY (codec-less VIDEO formats only — images use
+    * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec) ===========
+    * A real implementation decodes container bytes with a video codec; the
+    * JDK has none for H.264/VP9, so for MP4/WebM rows this deterministic
+    * fake stands in: "frames" are byte slices, features are a fixed-width
+    * fold of the bytes. Replace with a codec binding; signatures stay
+    * identical (VideoCodec demonstrates the swap for AVI).
     */
   object FakeCodec {
     def decode(media: Array[Byte]): Array[Byte] = media // identity "decode"
@@ -73,14 +77,25 @@ object MediaOps {
         val mime = (id % 3) match {
           case 0 => "image/png"
           case 1 => "audio/wav"
-          case _ => "video/mp4"
+          case _ => if (id % 6 == 5) "video/avi" else "video/mp4"
         }
-        // image rows carry REAL (decodable) PNG bytes and audio rows REAL
-        // WAV bytes; only video rows carry seeded opaque bytes for the
-        // FakeCodec stub path
+        // image rows carry REAL (decodable) PNG bytes, audio rows REAL WAV
+        // bytes, and half the video rows REAL AVI bytes (alternating MJPEG /
+        // lossless raw-DIB payloads, frame count matching the duration
+        // metadata at 2 fps); only the mp4 rows carry seeded opaque bytes
+        // for the FakeCodec stub path
         val bytes = (id % 3) match {
           case 0 => ImageCodec.syntheticPng(seed = id, w = w, h = 16)
           case 1 => AudioCodec.syntheticWav(seed = id, nSamples = 400 + (id % 400).toInt)
+          case _ if id % 6 == 5 =>
+            VideoCodec.syntheticAvi(
+              seed = id,
+              w = w,
+              h = 16,
+              nFrames = 2 * (1 + (id % 30)).toInt,
+              fps = 2,
+              mjpeg = (id / 6) % 2 == 0
+            )
           case _ =>
             val rnd = new scala.util.Random(id) // seeded per-row: deterministic
             val b = new Array[Byte](256 + (id % 512).toInt)
@@ -103,7 +118,9 @@ object MediaOps {
         val f =
           if (d.mime.startsWith("image/")) ImageCodec.features(d.media, dims) // REAL decode
           else if (d.mime.startsWith("audio/")) AudioCodec.features(d.media, dims) // REAL decode
-          else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (video only)
+          else if (d.mime == "video/avi" || d.mime == "video/x-msvideo")
+            VideoCodec.features(d.media, dims) // REAL decode (per-frame mean)
+          else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (codec-less video only)
         MediaFeature(d.doc_id, d.mime, f)
       }
     }
@@ -122,7 +139,9 @@ object MediaOps {
   }
 
   /** frame sampling: one row per sampled frame, `everyMs` cadence from the
-    * duration metadata; frame bytes are stub slices of the container bytes.
+    * duration metadata (one shared count rule for every video row). AVI rows
+    * emit the REAL frame payload nearest each sample instant (frame index =
+    * sample time × container fps); codec-less rows emit stub byte slices.
     */
   def sampleFrames(media: Dataset[MediaDoc], everyMs: Int): Dataset[Frame] = {
     val spark = media.sparkSession
@@ -131,11 +150,19 @@ object MediaOps {
       .filter(_.mime.startsWith("video/"))
       .flatMap { d =>
         val n = math.max(d.duration_ms / everyMs, 1)
-        val chunk = math.max(d.media.length / n, 1)
-        (0 until n).iterator.map { i =>
-          val from = math.min(i * chunk, math.max(d.media.length - 1, 0))
-          val until = math.min(from + chunk, d.media.length)
-          Frame(d.doc_id, i, java.util.Arrays.copyOfRange(d.media, from, until))
+        if (d.mime == "video/avi" || d.mime == "video/x-msvideo") {
+          val avi = VideoCodec.decode(d.media)
+          (0 until n).iterator.map { i =>
+            val idx = math.min((i.toLong * everyMs * avi.fps / 1000.0).toInt, avi.frames.size - 1)
+            Frame(d.doc_id, i, avi.frames(idx))
+          }
+        } else {
+          val chunk = math.max(d.media.length / n, 1)
+          (0 until n).iterator.map { i =>
+            val from = math.min(i * chunk, math.max(d.media.length - 1, 0))
+            val until = math.min(from + chunk, d.media.length)
+            Frame(d.doc_id, i, java.util.Arrays.copyOfRange(d.media, from, until))
+          }
         }
       }
   }

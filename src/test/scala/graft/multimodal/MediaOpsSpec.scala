@@ -121,9 +121,16 @@ class MediaOpsSpec extends SparkTestBase {
     val golden = Map(
       0L -> Array(0.51335526f, 0.5095413f, 0.49177462f, 0.49906716f, 0.45949498f, 0.48620296f, 0.50683784f, 0.47418922f), // image/png
       1L -> Array(0.35816646f, 0.35491943f, 0.34624016f, 0.3737333f, 0.33352304f, 0.37646368f, 0.34985647f, 0.36530262f), // audio/wav
-      2L -> Array(0.4436275f, 0.46985295f, 0.47401962f, 0.5703432f, 0.46678928f, 0.55968136f, 0.5345589f, 0.4604167f)     // video/mp4 (stub)
+      2L -> Array(0.4436275f, 0.46985295f, 0.47401962f, 0.5703432f, 0.46678928f, 0.55968136f, 0.5345589f, 0.4604167f), // video/mp4 (stub)
+      5L -> Array(0.5016454f, 0.4975648f, 0.48492736f, 0.4959594f, 0.50957566f, 0.48984927f, 0.4890013f, 0.5057904f), // video/avi MJPEG (real)
+      11L -> Array(0.4975335f, 0.5010764f, 0.511262f, 0.49998498f, 0.50015396f, 0.49430504f, 0.4960963f, 0.49809873f) // video/avi raw-DIB (real)
     )
-    val got = MediaOps.extractFeatures(MediaOps.syntheticMedia(spark, 3)).collect().map(f => f.doc_id -> f.feature).toMap
+    val got = MediaOps
+      .extractFeatures(MediaOps.syntheticMedia(spark, 12))
+      .collect()
+      .map(f => f.doc_id -> f.feature)
+      .toMap
+      .filter { case (id, _) => golden.contains(id) }
     assert(got.keySet == golden.keySet)
     for ((id, exp) <- golden) {
       // zip would silently truncate — a dims regression must fail too
