@@ -37,6 +37,12 @@ object MediaOps {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** rows routed to the REAL [[VideoCodec]] path (one predicate for
+    * extractFeatures and sampleFrames, so the two can never drift apart)
+    */
+  private def isAviMime(mime: String): Boolean =
+    mime == "video/avi" || mime == "video/x-msvideo" || mime == "video/vnd.avi"
+
   /** ======== STUB BOUNDARY (codec-less VIDEO formats only — images use
     * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec) ===========
     * A real implementation decodes container bytes with a video codec; the
@@ -118,8 +124,7 @@ object MediaOps {
         val f =
           if (d.mime.startsWith("image/")) ImageCodec.features(d.media, dims) // REAL decode
           else if (d.mime.startsWith("audio/")) AudioCodec.features(d.media, dims) // REAL decode
-          else if (d.mime == "video/avi" || d.mime == "video/x-msvideo")
-            VideoCodec.features(d.media, dims) // REAL decode (per-frame mean)
+          else if (isAviMime(d.mime)) VideoCodec.features(d.media, dims) // REAL decode (per-frame mean)
           else FakeCodec.features(FakeCodec.decode(d.media), dims) // stub (codec-less video only)
         MediaFeature(d.doc_id, d.mime, f)
       }
@@ -150,8 +155,11 @@ object MediaOps {
       .filter(_.mime.startsWith("video/"))
       .flatMap { d =>
         val n = math.max(d.duration_ms / everyMs, 1)
-        if (d.mime == "video/avi" || d.mime == "video/x-msvideo") {
+        if (isAviMime(d.mime)) {
           val avi = VideoCodec.decode(d.media)
+          // decode() permits a frame-less container (header inspection);
+          // sampling one has no frames to emit — fail loud, not frames(-1)
+          require(avi.frames.nonEmpty, s"AVI doc ${d.doc_id} has no video frames to sample")
           (0 until n).iterator.map { i =>
             val idx = math.min((i.toLong * everyMs * avi.fps / 1000.0).toInt, avi.frames.size - 1)
             Frame(d.doc_id, i, avi.frames(idx))

@@ -135,8 +135,13 @@ class MediaOpsSpec extends SparkTestBase {
     for ((id, exp) <- golden) {
       // zip would silently truncate — a dims regression must fail too
       assert(got(id).length == exp.length, s"doc $id dims drifted: ${got(id).length} vs ${exp.length}")
+      // MJPEG doc 5 rides the JDK's LOSSY JPEG codec: a JDK vendor/version
+      // change to quantization/IDCT rounding may legitimately shift band
+      // luma slightly, so its pin is loose (1e-3) where the lossless
+      // PNG/WAV/DIB paths stay exact (1e-6)
+      val tol = if (id == 5L) 1e-3f else 1e-6f
       for ((e, g) <- exp.zip(got(id)))
-        assert(math.abs(e - g) < 1e-6f, s"doc $id drifted: expected ${exp.toSeq}, got ${got(id).toSeq}")
+        assert(math.abs(e - g) < tol, s"doc $id drifted: expected ${exp.toSeq}, got ${got(id).toSeq}")
     }
   }
 

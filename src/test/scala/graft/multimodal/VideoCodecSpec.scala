@@ -78,6 +78,90 @@ class VideoCodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { VideoCodec.decode(ok.take(ok.length - 3)) } // truncated chunk
   }
 
+  test("decoder honors strf: 32bpp BGRX, top-down rows, unsupported codecs REJECT loudly") {
+    val base = VideoCodec.encodeAvi(IndexedSeq(solid(0x336699, w = 4, h = 2)), fps = 1, mjpeg = false)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = { val b = base.clone(); f(b); b }
+    def findChunk(b: Array[Byte], id: String): Int = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 8 <= b.length) {
+        if (new String(b, i, 4, "US-ASCII") == id) at = i else i += 1
+      }
+      assert(at > 0, s"no $id chunk"); at
+    }
+    val strfBody = findChunk(base, "strf") + 8
+    val bb = java.nio.ByteOrder.LITTLE_ENDIAN
+
+    // 32bpp BGRX: rebuild the single 4x2 frame payload as 4-byte pixels
+    val px32 = {
+      val b = new Array[Byte](4 * 4 * 2) // stride 16, no pad needed
+      for (y <- 0 until 2; x <- 0 until 4) {
+        val o = (1 - y) * 16 + x * 4 // bottom-up
+        b(o) = 0x99.toByte; b(o + 1) = 0x66; b(o + 2) = 0x33; b(o + 3) = 0x7f // X byte arbitrary
+      }
+      b
+    }
+    val avi32bytes = {
+      val with32 = patched { b =>
+        java.nio.ByteBuffer.wrap(b).order(bb).putShort(strfBody + 14, 32) // biBitCount
+      }
+      // swap the 00db payload: old stride (4*3+3)&~3=12 → 24 bytes; new 32
+      val at = findChunk(with32, "00db")
+      val head = with32.take(at)
+      val tailAfter = with32.drop(at + 8 + 24)
+      val chunk = java.nio.ByteBuffer.allocate(8 + px32.length).order(bb)
+      chunk.put("00db".getBytes("US-ASCII")).putInt(px32.length).put(px32)
+      val out = head ++ chunk.array() ++ tailAfter
+      java.nio.ByteBuffer.wrap(out).order(bb).putInt(4, out.length - 8) // fix RIFF size
+      // fix the movi LIST size too: it grew by the same delta
+      val moviAt = findChunk(out, "movi") - 8
+      val oldSize = java.nio.ByteBuffer.wrap(out).order(bb).getInt(moviAt + 4)
+      java.nio.ByteBuffer.wrap(out).order(bb).putInt(moviAt + 4, oldSize + (px32.length - 24))
+      out
+    }
+    val avi32 = VideoCodec.decode(avi32bytes)
+    assert(avi32.bitCount == 32 && !avi32.mjpeg)
+    val img32 = VideoCodec.frameImage(avi32, 0)
+    for (y <- 0 until 2; x <- 0 until 4) assert((img32.getRGB(x, y) & 0xffffff) == 0x336699, s"($x,$y)")
+
+    // top-down: biHeight negative flips row order; encode a 2-row gradient
+    val grad = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) { grad.setRGB(x, 0, 0xff0000); grad.setRGB(x, 1, 0x0000ff) }
+    val gradAvi = VideoCodec.encodeAvi(IndexedSeq(grad), fps = 1, mjpeg = false)
+    val gBody = findChunk(gradAvi, "strf") + 8
+    val topDown = gradAvi.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(bb).putInt(gBody + 8, -2) // biHeight = -2
+    val td = VideoCodec.decode(topDown)
+    assert(td.topDown)
+    val tImg = VideoCodec.frameImage(td, 0)
+    // payload rows were written bottom-up (row0-of-file = image row 1);
+    // top-down interpretation reads them in file order → flipped image
+    assert((tImg.getRGB(0, 0) & 0xffffff) == 0x0000ff && (tImg.getRGB(0, 1) & 0xffffff) == 0xff0000)
+
+    // unsupported codec fourcc: loud reject, never silent garbage
+    val h264 = patched { b =>
+      val strhBody = findChunk(b, "strh") + 8
+      System.arraycopy("H264".getBytes("US-ASCII"), 0, b, strhBody + 4, 4) // handler
+      System.arraycopy("H264".getBytes("US-ASCII"), 0, b, strfBody + 16, 4) // biCompression
+    }
+    val ex = intercept[IllegalArgumentException] { VideoCodec.decode(h264) }
+    assert(ex.getMessage.contains("unsupported AVI codec"), ex.getMessage)
+    // 16bpp raw is likewise undecodable here
+    val bpp16 = patched(b => java.nio.ByteBuffer.wrap(b).order(bb).putShort(strfBody + 14, 16))
+    intercept[IllegalArgumentException] { VideoCodec.decode(bpp16) }
+
+    // trailing padding after the declared RIFF size is legal and ignored
+    val padded = base ++ Array.fill[Byte](7)(0x5a)
+    assert(VideoCodec.decode(padded).frames.size == 1)
+
+    // a huge declared chunk size must fail the truncation guard, not wrap
+    val huge = patched { b =>
+      val at = findChunk(b, "00db")
+      java.nio.ByteBuffer.wrap(b).order(bb).putInt(at + 4, 0x7ffffff0)
+    }
+    val ex2 = intercept[IllegalArgumentException] { VideoCodec.decode(huge) }
+    assert(ex2.getMessage.contains("truncated AVI chunk"), ex2.getMessage)
+  }
+
   test("synthetic corpus: AVI rows really decode, frame counts follow the duration metadata") {
     val docs = MediaOps.syntheticMedia(spark, 24).collect()
     val avis = docs.filter(_.mime == "video/avi")
@@ -107,7 +191,9 @@ class VideoCodecSpec extends SparkTestBase {
     for (f <- frames) {
       val d = byDoc(f.doc_id)
       val avi = VideoCodec.decode(d.media)
-      val idx = math.min((f.frame_idx.toLong * 5000 * avi.fps / 1000.0).toInt, avi.frames.size - 1)
+      // HAND-derived index, not the implementation's formula: at 2 fps a
+      // 5000 ms cadence is every 10th frame, clamped to the last one
+      val idx = math.min(10 * f.frame_idx, avi.frames.size - 1)
       assert(f.frame.sameElements(avi.frames(idx)), s"doc ${f.doc_id} sample ${f.frame_idx}")
     }
     // count rule is the SHARED duration arithmetic
