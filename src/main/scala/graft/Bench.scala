@@ -30,6 +30,11 @@ object Bench {
     // headline: derive + tier ladder over synthetic transcripts
     val (pointsPerSec, tierRows, rollupSec) = rollupThroughput(spark, turns, cpus.toInt)
 
+    // materialize the q24/q25 media fixture OUTSIDE the measured window: it
+    // is one-time setup (like the codegen warm-up), not query work, and a
+    // version bump would otherwise land the regeneration inside q24's time
+    SparkEntry.mediaCorpus(spark).count()
+
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -46,7 +46,7 @@ object SparkEntry {
     s"$base/media_corpus_v4.parquet"
   }
 
-  private def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
+  private[graft] def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
     import s.implicits._
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mediaFixturePath, "_SUCCESS"))) {
       import graft.multimodal.MediaOps
