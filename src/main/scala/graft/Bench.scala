@@ -32,8 +32,11 @@ object Bench {
 
     // materialize the q24/q25 media fixture OUTSIDE the measured window: it
     // is one-time setup (like the codegen warm-up), not query work, and a
-    // version bump would otherwise land the regeneration inside q24's time
-    SparkEntry.mediaCorpus(spark).count()
+    // version bump would otherwise land the regeneration inside q24's time.
+    // NonFatal-guarded: a fixture failure must surface as q24/q25
+    // query_errors, never turn the measured run into a failed one
+    try SparkEntry.mediaCorpus(spark).count()
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"media fixture warm-up failed: $e") }
 
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results

@@ -153,6 +153,18 @@ class VideoCodecSpec extends SparkTestBase {
     val padded = base ++ Array.fill[Byte](7)(0x5a)
     assert(VideoCodec.decode(padded).frames.size == 1)
 
+    // a streaming-writer dwSize of 0 falls back to the real length
+    val zeroSize = patched(b => java.nio.ByteBuffer.wrap(b).order(bb).putInt(4, 0))
+    assert(VideoCodec.decode(zeroSize).frames.size == 1)
+
+    // a raw stream WITHOUT a parsed video strf must reject (bit depth and
+    // compression would be a guess), even under a benign-looking handler —
+    // rename the strf chunk so the walker skips it cleanly by size
+    val strfAt = findChunk(base, "strf")
+    val noStrf = patched(b => System.arraycopy("strx".getBytes("US-ASCII"), 0, b, strfAt, 4))
+    val ex3 = intercept[IllegalArgumentException] { VideoCodec.decode(noStrf) }
+    assert(ex3.getMessage.contains("no video strf"), ex3.getMessage)
+
     // a huge declared chunk size must fail the truncation guard, not wrap
     val huge = patched { b =>
       val at = findChunk(b, "00db")
