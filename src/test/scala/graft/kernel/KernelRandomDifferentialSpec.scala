@@ -20,6 +20,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class KernelRandomDifferentialSpec extends AnyFunSuite {
 
+  /** sweep width: 10 by default (CI wall-clock), widen locally with
+    * `sbt 'set Test/javaOptions += "-Dgraft.randFixtures=40"; testOnly
+    * graft.kernel.KernelRandomDifferentialSpec'` to shake out rare seeds —
+    * every fixture is deterministic per index, so a wide run reproduces
+    */
+  private val N = sys.props.getOrElse("graft.randFixtures", "10").toInt
+
   private def fixture(i: Int): String = RandomFixtures.path(i)
 
   /** One kernel run per fixture — parse, process, every analyzer — shared by
@@ -48,7 +55,7 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     }
   private def allFlags(i: Int): Seq[graft.model.Flag] = kernelRun(i)._2.flatMap(_._2)
 
-  for (i <- 0 until 10) {
+  for (i <- 0 until N) {
     test(s"random fixture $i: processed series, train stats, and all analyzer flags match the reference") {
       val path = fixture(i)
       val oracle = OracleHarness.loadPath(path)
@@ -102,7 +109,7 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
-  for (i <- 0 until 10) {
+  for (i <- 0 until N) {
     test(s"random fixture $i: expected-errors rebucket + crash parity vs reference validate(1)") {
       val (processed, _) = kernelRun(i)
       val flags = allFlags(i)
@@ -149,7 +156,7 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
-  for (i <- 0 until 10) {
+  for (i <- 0 until N) {
     test(s"random fixture $i: validated details payload parity (outliers + last-10 snapshot)") {
       import scala.jdk.CollectionConverters._
       val dl = new nl.us2.timeseriesoutlierdetection.FileDataLoader(fixture(i))
@@ -218,12 +225,12 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
   private val validatedCounts = scala.collection.mutable.Map.empty[Int, Int]
 
   test("the details-parity sweep is non-vacuous: several fixtures compare a payload") {
-    assume(detailsCompared.size == 10, "needs the per-fixture runs")
+    assume(detailsCompared.size == N, "needs the per-fixture runs")
     assert(detailsCompared.count(_._2) >= 3, s"payloads compared per fixture: $detailsCompared")
   }
 
   test("the expected-errors sweep exercises BOTH reference branches (clean validate and NPE)") {
-    assume(errBranches.size == 10, "needs the per-fixture runs")
+    assume(errBranches.size == N, "needs the per-fixture runs")
     assert(errBranches.values.toSet == Set("clean", "npe"), s"branches per fixture: $errBranches")
   }
 
@@ -243,7 +250,7 @@ class KernelRandomDifferentialSpec extends AnyFunSuite {
   test("the random sweep is non-vacuous: several fixtures produce validated outliers") {
     // registered after (and depends on) the per-fixture tests above; skip
     // rather than fail if the suite was filtered down to this test alone
-    assume(validatedCounts.size == 10, "needs the per-fixture runs")
+    assume(validatedCounts.size == N, "needs the per-fixture runs")
     assert(validatedCounts.count(_._2 > 0) >= 3, s"validated counts per fixture: $validatedCounts")
   }
 }
