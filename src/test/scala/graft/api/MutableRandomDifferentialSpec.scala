@@ -23,6 +23,11 @@ import scala.util.Random
   */
 class MutableRandomDifferentialSpec extends AnyFunSuite {
 
+  /** sweep width (same knob as KernelRandomDifferentialSpec): default 10,
+    * widen locally with -Dgraft.randFixtures=N in Test/javaOptions
+    */
+  private val N = sys.props.getOrElse("graft.randFixtures", "10").toInt
+
   /** (serie, tsSpelling, valueSpelling) calls in order; bulkAt marks one
     * contiguous range fed through the bulk-map overload on both sides (its
     * spellings are unique within the range, so putAll == sequential puts).
@@ -114,7 +119,7 @@ class MutableRandomDifferentialSpec extends AnyFunSuite {
       )
     }
 
-  for (i <- 0 until 10) {
+  for (i <- 0 until N) {
     test(s"mutable fixture $i: processed points, resolution, and validate(1) match the reference") {
       val (evs, bulk, mine, _) = mineRun(i)
       val mineValidated = mine.validate(1).toMap
@@ -185,12 +190,12 @@ class MutableRandomDifferentialSpec extends AnyFunSuite {
   }
 
   test("the mutable sweep is non-vacuous: several fixtures produce validated outliers") {
-    assume(validatedCounts.size == 10, "needs the per-fixture runs")
+    assume(validatedCounts.size == N, "needs the per-fixture runs")
     assert(validatedCounts.count(_._2 > 0) >= 3, s"validated counts per fixture: $validatedCounts")
   }
 
   test("the mutable expected-errors sweep exercises BOTH reference branches") {
-    assume(errBranches.size == 10, "needs the per-fixture runs")
+    assume(errBranches.size == N, "needs the per-fixture runs")
     assert(errBranches.values.toSet == Set("clean", "npe"), s"branches per fixture: $errBranches")
   }
 }
