@@ -101,11 +101,16 @@ class TsvRandomDifferentialSpec extends SparkTestBase {
       .toVector
       .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket"), r.getAs[Double]("value")))
 
-  test("randomized differential: 18 seeded adversarial TSVs parse identically to FileDataLoader.loadRawData") {
+  // sweep width: same knob as the kernel/mutable differentials; the rnd
+  // sequence is drawn serially, so a wide run extends (never reshuffles)
+  // the default fixtures
+  private val N = math.max(18, sys.props.getOrElse("graft.randFixtures", "18").toInt)
+
+  test("randomized differential: N seeded adversarial TSVs parse identically to FileDataLoader.loadRawData") {
     val rnd = new Random(20260817L)
     val dir = graft.kernel.OracleHarness.tempDir("tsv_rand_diff")
     var nonTrivial = 0
-    for (i <- 0 until 18) {
+    for (i <- 0 until N) {
       val lines = generate(rnd)
       val path = write(dir, s"rand_$i.tsv", lines)
       val expected = referencePoints(path).sorted
