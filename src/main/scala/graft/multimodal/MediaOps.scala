@@ -131,17 +131,25 @@ object MediaOps {
     }
   }
 
-  /** resize pass: metadata updated, bytes re-coded (stub), plan shape real */
-  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
+  /** resize pass: REAL nearest-neighbor pixel resample for images
+    * (ImageCodec) and AVI video (VideoCodec, per frame, same codec);
+    * metadata updated; rows of other modalities pass through untouched
+    */
+  def resizeMedia(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { d =>
         if (d.mime.startsWith("image/")) d.copy(media = ImageCodec.resize(d.media, w, h), width = w, height = h)
+        else if (isAviMime(d.mime)) d.copy(media = VideoCodec.resize(d.media, w, h), width = w, height = h)
         else d
       }
     }
   }
+
+  /** former name of [[resizeMedia]], kept for source compatibility */
+  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] =
+    resizeMedia(media, w, h)
 
   /** frame sampling: one row per sampled frame, `everyMs` cadence from the
     * duration metadata (one shared count rule for every video row). AVI rows

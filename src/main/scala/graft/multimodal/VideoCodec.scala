@@ -207,6 +207,35 @@ object VideoCodec {
     encodeAvi(frames, fps, mjpeg)
   }
 
+  /** nearest-neighbor per-frame resize, re-encoded in the SAME codec and at
+    * the same fps — the video analog of [[ImageCodec.resize]] (integer-math
+    * sampling, deterministic; the raw-DIB path is pixel-exact, MJPEG pays
+    * one JPEG re-encode)
+    */
+  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val avi = decode(bytes)
+    require(avi.frames.nonEmpty, "AVI with no video frames")
+    val resized = IndexedSeq.tabulate(avi.frames.size) { i =>
+      val src = frameImage(avi, i)
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(y * src.getHeight / h, src.getHeight - 1)
+        var x = 0
+        while (x < w) {
+          val sx = math.min(x * src.getWidth / w, src.getWidth - 1)
+          dst.setRGB(x, y, src.getRGB(sx, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      dst
+    }
+    // encodeAvi takes integer fps; container fps is rate/scale and our
+    // writer always emitted integers, so rounding only touches foreign files
+    encodeAvi(resized, math.max(math.round(avi.fps).toInt, 1), avi.mjpeg)
+  }
+
   /** write frames as a standard minimal AVI */
   def encodeAvi(frames: IndexedSeq[BufferedImage], fps: Int, mjpeg: Boolean): Array[Byte] = {
     require(frames.nonEmpty && fps > 0, "encodeAvi needs frames and a positive fps")

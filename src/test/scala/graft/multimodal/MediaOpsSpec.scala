@@ -46,14 +46,19 @@ class MediaOpsSpec extends SparkTestBase {
     assert(frames.agg(sum(length(col("frame")))).head.getLong(0) > 0)
   }
 
-  test("resize updates image metadata only for images; resized bytes decode") {
-    val resized = MediaOps.resizeImages(MediaOps.syntheticMedia(spark, 30), 32, 32).collect()
+  test("resizeMedia: images AND AVI video resample for real; other rows pass through") {
+    val resized = MediaOps.resizeMedia(MediaOps.syntheticMedia(spark, 30), 32, 32).collect()
     resized.foreach { d =>
       if (d.mime.startsWith("image/")) {
         assert(d.width == 32 && d.height == 32)
         val img = ImageCodec.decode(d.media) // REAL decode of the resized PNG
         assert(img.getWidth == 32 && img.getHeight == 32)
-      } else assert(d.height == 16)
+      } else if (d.mime == "video/avi") {
+        assert(d.width == 32 && d.height == 32)
+        val avi = VideoCodec.decode(d.media) // REAL decode of the re-encoded AVI
+        assert(avi.width == 32 && avi.height == 32 && avi.frames.nonEmpty)
+        assert(VideoCodec.frameImage(avi, 0).getWidth == 32)
+      } else assert(d.height == 16) // wav/mp4 untouched
     }
   }
 

@@ -52,6 +52,22 @@ class VideoCodecSpec extends SparkTestBase {
     f.foreach(v => assert(math.abs(v - expected) < 0.04, s"${f.toSeq} vs $expected"))
   }
 
+  test("resize: raw-DIB path picks exact source pixels per quadrant, fps and codec kept") {
+    // 4×4 quadrant frame downsampled to 2×2 must pick one pixel per quadrant
+    // (the ImageCodec.resize contract, per frame)
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val cols = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, cols((y / 2) * 2 + (x / 2)))
+    val avi = VideoCodec.encodeAvi(IndexedSeq(img, img), fps = 3, mjpeg = false)
+    val out = VideoCodec.decode(VideoCodec.resize(avi, 2, 2))
+    assert(out.width == 2 && out.height == 2 && out.fps == 3.0 && !out.mjpeg && out.frames.size == 2)
+    for (i <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      assert((VideoCodec.frameImage(out, i).getRGB(x, y) & 0xffffff) == cols(y * 2 + x), s"f$i ($x,$y)")
+    // MJPEG leg: codec preserved, dimensions change, frames re-decode
+    val mj = VideoCodec.decode(VideoCodec.resize(VideoCodec.encodeAvi(IndexedSeq(solid(0x808080)), 2, mjpeg = true), 4, 4))
+    assert(mj.mjpeg && mj.width == 4 && VideoCodec.frameImage(mj, 0).getHeight == 4)
+  }
+
   test("parser skips unknown chunks and rejects non-AVI or truncated bytes") {
     val ok = VideoCodec.encodeAvi(IndexedSeq(solid(0x112233)), fps = 1, mjpeg = false)
     // splice a JUNK chunk between hdrl and movi: parser must skip it by size
