@@ -17,6 +17,9 @@ import graft.model.EngineConfig
   */
 class SparkRandomDetectSpec extends SparkTestBase {
 
+  /** sweep width (same -Dgraft.randFixtures knob as the kernel sweep) */
+  private val N = sys.props.getOrElse("graft.randFixtures", "10").toInt
+
   private def kernelScores(i: Int, raw: Map[String, Seq[graft.kernel.Pt]], cfg: EngineConfig): Map[Long, Double] = {
     val processed = ScopePipeline.process(raw.view.mapValues(_.toIterable).toMap, cfg)
     val flags = AnalyzerRegistry.all.flatMap(_.analyze(s"kr_$i", processed.series.values))
@@ -28,7 +31,7 @@ class SparkRandomDetectSpec extends SparkTestBase {
       ps.map(p => Detect.SeriesPoint(s"kr_$i", metric, p.ts, p.v))
     }
 
-  for (i <- 0 until 10) {
+  for (i <- 0 until N) {
     test(s"random fixture $i: spark detectValidated == kernel (bit-exact scores)") {
       val s = spark
       import s.implicits._
@@ -59,7 +62,7 @@ class SparkRandomDetectSpec extends SparkTestBase {
     // only fixtures whose .settings resolve to the default config can share
     // one cfg (inert-key-only sidecars qualify — see RandomFixtures)
     val eligible =
-      (0 until 10).filter(i => EngineConfig.fromSettings(OracleHarness.settingsAt(RandomFixtures.path(i))) == cfg)
+      (0 until N).filter(i => EngineConfig.fromSettings(OracleHarness.settingsAt(RandomFixtures.path(i))) == cfg)
     assert(eligible.size >= 3, s"sweep needs several settings-free fixtures, got $eligible")
     val raws = eligible.map(i => i -> OracleHarness.parseTsvAt(RandomFixtures.path(i))).toMap
 

@@ -37,7 +37,7 @@ class StreamingRandomDetectSpec extends SparkTestBase {
     // first 3 fixtures whose FULL-data run validates something: append-mode
     // emissions cannot express "validated set became empty", so empty-final
     // fixtures have nothing streaming could be compared on
-    val candidates = (0 until 10).iterator.map { i =>
+    val candidates = (0 until sys.props.getOrElse("graft.randFixtures", "10").toInt).iterator.map { i =>
       val batchValidated = Detect
         .detectValidated(s.createDataset(allPoints(i)), cfgOf(i))
         .collect()
