@@ -83,8 +83,14 @@ object ImageCodec {
   }
 
   /** nearest-neighbor resize, re-encoded as PNG */
-  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val src = decode(bytes)
+  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodePng(resizeOf(decode(bytes), w, h))
+
+  /** the nearest-neighbor kernel on an already-decoded image — ONE copy of
+    * the integer-math sampling rule, shared with [[VideoCodec.resize]]'s
+    * per-frame path (like [[featuresOf]] for the band-luma feature)
+    */
+  def resizeOf(src: BufferedImage, w: Int, h: Int): BufferedImage = {
     val sw = src.getWidth
     val sh = src.getHeight
     val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -99,6 +105,6 @@ object ImageCodec {
       }
       y += 1
     }
-    encodePng(dst)
+    dst
   }
 }

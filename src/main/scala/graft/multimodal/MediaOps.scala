@@ -147,9 +147,22 @@ object MediaOps {
     }
   }
 
-  /** former name of [[resizeMedia]], kept for source compatibility */
-  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] =
-    resizeMedia(media, w, h)
+  /** the original image-ONLY resize pass, kept with its original semantics:
+    * every non-image row — including AVI video — passes through untouched,
+    * so existing callers never start decoding (and possibly rejecting or
+    * re-encoding) video rows under the old name. Use [[resizeMedia]] for
+    * the image+video pass.
+    */
+  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { d =>
+        if (d.mime.startsWith("image/")) d.copy(media = ImageCodec.resize(d.media, w, h), width = w, height = h)
+        else d
+      }
+    }
+  }
 
   /** frame sampling: one row per sampled frame, `everyMs` cadence from the
     * duration metadata (one shared count rule for every video row). AVI rows

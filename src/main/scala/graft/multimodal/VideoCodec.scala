@@ -215,25 +215,14 @@ object VideoCodec {
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val avi = decode(bytes)
     require(avi.frames.nonEmpty, "AVI with no video frames")
-    val resized = IndexedSeq.tabulate(avi.frames.size) { i =>
-      val src = frameImage(avi, i)
-      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        val sy = math.min(y * src.getHeight / h, src.getHeight - 1)
-        var x = 0
-        while (x < w) {
-          val sx = math.min(x * src.getWidth / w, src.getWidth - 1)
-          dst.setRGB(x, y, src.getRGB(sx, sy) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      dst
-    }
+    val resized = IndexedSeq.tabulate(avi.frames.size)(i => ImageCodec.resizeOf(frameImage(avi, i), w, h))
     // encodeAvi takes integer fps; container fps is rate/scale and our
-    // writer always emitted integers, so rounding only touches foreign files
-    encodeAvi(resized, math.max(math.round(avi.fps).toInt, 1), avi.mjpeg)
+    // writer always emitted integers, so rounding only touches foreign
+    // files. Round in Long and REJECT an Int overflow — clamping a garbage
+    // multi-billion fps to 1 would silently re-time the stream
+    val fps = math.max(math.round(avi.fps), 1L)
+    require(fps <= Int.MaxValue, s"fps $fps too large to re-encode")
+    encodeAvi(resized, fps.toInt, avi.mjpeg)
   }
 
   /** write frames as a standard minimal AVI */

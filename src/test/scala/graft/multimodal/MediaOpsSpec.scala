@@ -60,6 +60,15 @@ class MediaOpsSpec extends SparkTestBase {
         assert(VideoCodec.frameImage(avi, 0).getWidth == 32)
       } else assert(d.height == 16) // wav/mp4 untouched
     }
+    // the ORIGINAL image-only pass keeps its semantics under the old name:
+    // video rows (even decodable AVIs) pass through byte-identical, so
+    // pre-existing callers never start decoding/re-encoding video
+    val legacy = MediaOps.resizeImages(MediaOps.syntheticMedia(spark, 30), 32, 32).collect()
+    val orig = MediaOps.syntheticMedia(spark, 30).collect().map(d => d.doc_id -> d).toMap
+    legacy.foreach { d =>
+      if (d.mime.startsWith("image/")) assert(d.width == 32 && d.height == 32)
+      else assert(d.height == 16 && d.media.sameElements(orig(d.doc_id).media), s"doc ${d.doc_id} must pass through")
+    }
   }
 
   test("ImageCodec: PNG roundtrip is lossless, features match known pixels") {
