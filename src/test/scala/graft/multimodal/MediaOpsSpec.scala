@@ -123,6 +123,23 @@ class MediaOpsSpec extends SparkTestBase {
       assert((small.getRGB(x, y) & 0xffffff) == cols(y * 2 + x), s"($x,$y)")
   }
 
+  test("VideoCodec resize: an Int-overflowing fps is rejected, not clamped") {
+    // a foreign file can declare strh rate/scale giving fps > Int.MaxValue;
+    // re-encoding must refuse rather than silently re-time the stream to 1 fps
+    val frame = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val avi = VideoCodec.encodeAvi(IndexedSeq(frame), 10, mjpeg = false)
+    // patch the video strh's dwScale/dwRate (body+20 / body+24) to 1 / u32-max
+    val strh = {
+      val pat = "strh".getBytes("US-ASCII")
+      (0 until avi.length - 4).find(i => avi.slice(i, i + 4).sameElements(pat)).get
+    }
+    val bb = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(strh + 8 + 20, 1).putInt(strh + 8 + 24, 0xffffffff)
+    assert(math.round(VideoCodec.decode(avi).fps) > Int.MaxValue) // the patch took
+    val e = intercept[IllegalArgumentException](VideoCodec.resize(avi, 2, 2))
+    assert(e.getMessage.contains("too large"), e.getMessage)
+  }
+
   test("frozen golden features: decode drift fails even when the q24 fixture is regenerated") {
     // The q24 parquet fixture's expected_f0/expected_dims columns are written
     // by the SAME build that later runs the query, so a decode bug introduced
