@@ -135,17 +135,8 @@ object MediaOps {
     * (ImageCodec) and AVI video (VideoCodec, per frame, same codec);
     * metadata updated; rows of other modalities pass through untouched
     */
-  def resizeMedia(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { batch =>
-      batch.map { d =>
-        if (d.mime.startsWith("image/")) d.copy(media = ImageCodec.resize(d.media, w, h), width = w, height = h)
-        else if (isAviMime(d.mime)) d.copy(media = VideoCodec.resize(d.media, w, h), width = w, height = h)
-        else d
-      }
-    }
-  }
+  def resizeMedia(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] =
+    resizePass(media, w, h, includeVideo = true)
 
   /** the original image-ONLY resize pass, kept with its original semantics:
     * every non-image row — including AVI video — passes through untouched,
@@ -153,12 +144,20 @@ object MediaOps {
     * re-encoding) video rows under the old name. Use [[resizeMedia]] for
     * the image+video pass.
     */
-  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] = {
+  def resizeImages(media: Dataset[MediaDoc], w: Int, h: Int): Dataset[MediaDoc] =
+    resizePass(media, w, h, includeVideo = false)
+
+  /** ONE copy of the per-row resize rule (mime dispatch + metadata update)
+    * behind both public passes, so the image branch can never drift between
+    * them — only the video leg is switched
+    */
+  private def resizePass(media: Dataset[MediaDoc], w: Int, h: Int, includeVideo: Boolean): Dataset[MediaDoc] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { d =>
         if (d.mime.startsWith("image/")) d.copy(media = ImageCodec.resize(d.media, w, h), width = w, height = h)
+        else if (includeVideo && isAviMime(d.mime)) d.copy(media = VideoCodec.resize(d.media, w, h), width = w, height = h)
         else d
       }
     }

@@ -218,10 +218,11 @@ object VideoCodec {
     val resized = IndexedSeq.tabulate(avi.frames.size)(i => ImageCodec.resizeOf(frameImage(avi, i), w, h))
     // encodeAvi takes integer fps; container fps is rate/scale and our
     // writer always emitted integers, so rounding only touches foreign
-    // files. Round in Long and REJECT an Int overflow — clamping a garbage
-    // multi-billion fps to 1 would silently re-time the stream
-    val fps = math.max(math.round(avi.fps), 1L)
-    require(fps <= Int.MaxValue, s"fps $fps too large to re-encode")
+    // files. Round in Long and REJECT anything an integer can't carry —
+    // both a garbage multi-billion fps AND a sub-0.5-fps timelapse (which
+    // rounds to 0): clamping either would silently re-time the stream
+    val fps = math.round(avi.fps)
+    require(fps >= 1 && fps <= Int.MaxValue, s"fps ${avi.fps} not re-encodable as a positive Int frame rate")
     encodeAvi(resized, fps.toInt, avi.mjpeg)
   }
 

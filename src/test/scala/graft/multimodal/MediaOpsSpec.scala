@@ -123,21 +123,28 @@ class MediaOpsSpec extends SparkTestBase {
       assert((small.getRGB(x, y) & 0xffffff) == cols(y * 2 + x), s"($x,$y)")
   }
 
-  test("VideoCodec resize: an Int-overflowing fps is rejected, not clamped") {
-    // a foreign file can declare strh rate/scale giving fps > Int.MaxValue;
-    // re-encoding must refuse rather than silently re-time the stream to 1 fps
-    val frame = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val avi = VideoCodec.encodeAvi(IndexedSeq(frame), 10, mjpeg = false)
-    // patch the video strh's dwScale/dwRate (body+20 / body+24) to 1 / u32-max
-    val strh = {
+  test("VideoCodec resize: an fps an Int can't carry is rejected, not clamped") {
+    // a foreign file can declare strh rate/scale giving fps > Int.MaxValue
+    // (garbage) or < 0.5 (a valid timelapse); re-encoding must refuse both
+    // rather than silently re-time the stream
+    def patched(scale: Int, rate: Int): Array[Byte] = {
+      val frame = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val avi = VideoCodec.encodeAvi(IndexedSeq(frame), 10, mjpeg = false)
+      // patch the video strh's dwScale/dwRate (body+20 / body+24)
       val pat = "strh".getBytes("US-ASCII")
-      (0 until avi.length - 4).find(i => avi.slice(i, i + 4).sameElements(pat)).get
+      val strh = (0 until avi.length - 4).find(i => avi.slice(i, i + 4).sameElements(pat)).get
+      val bb = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(strh + 8 + 20, scale).putInt(strh + 8 + 24, rate)
+      avi
     }
-    val bb = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(strh + 8 + 20, 1).putInt(strh + 8 + 24, 0xffffffff)
-    assert(math.round(VideoCodec.decode(avi).fps) > Int.MaxValue) // the patch took
-    val e = intercept[IllegalArgumentException](VideoCodec.resize(avi, 2, 2))
-    assert(e.getMessage.contains("too large"), e.getMessage)
+    val huge = patched(1, 0xffffffff)
+    assert(math.round(VideoCodec.decode(huge).fps) > Int.MaxValue) // the patch took
+    val eHuge = intercept[IllegalArgumentException](VideoCodec.resize(huge, 2, 2))
+    assert(eHuge.getMessage.contains("not re-encodable"), eHuge.getMessage)
+    val timelapse = patched(10, 1) // 0.1 fps: one frame per 10 s, decodes fine
+    assert(math.abs(VideoCodec.decode(timelapse).fps - 0.1) < 1e-9)
+    val eSlow = intercept[IllegalArgumentException](VideoCodec.resize(timelapse, 2, 2))
+    assert(eSlow.getMessage.contains("not re-encodable"), eSlow.getMessage)
   }
 
   test("frozen golden features: decode drift fails even when the q24 fixture is regenerated") {
