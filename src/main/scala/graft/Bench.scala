@@ -14,10 +14,55 @@ import org.apache.spark.sql.SparkSession
   * timings over SPARK_GRAFT_SF_DIR are reported in "queries".
   */
 object Bench {
+
+  /** Host-contention calibration probe. Times a FIXED single-threaded
+    * CPU+memory workload — 4 sequential rotate-xor-multiply hash sweeps over a
+    * seeded 256 MB long array (1 GB of reads total) — so a bench draw carries
+    * its own evidence of host load: the probe has no Spark, no IO and no
+    * parallelism, so any slowdown vs the clean-host reference value in
+    * BENCH/BASELINE.md is external contention, not engine regression. Run it
+    * BEFORE and AFTER the measured window (contention can start mid-run) and
+    * judge on the worse of the two.
+    *
+    * Returns (elapsedMs, foldedHash). The hash is deterministic for a given
+    * seed — emitted into the JSON line so the work cannot be dead-code
+    * eliminated and a miscompiled probe is detectable.
+    */
+  def calibrationProbe(seed: Long = 0x9E3779B97F4A7C15L): (Long, Long) = {
+    val n = 32 * 1024 * 1024 // 32 Mi longs = 256 MB
+    val a = new Array[Long](n)
+    // splitmix64 fill: touches every page before timing starts, so the
+    // measured sweeps see no allocation or first-touch page faults
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      a(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    // untimed JIT warm-up of the sweep loop body over a small prefix
+    var h = seed
+    var j = 0
+    while (j < 1024 * 1024) { h = java.lang.Long.rotateLeft(h ^ a(j), 27) * 0x9FB21C651E98DF25L; j += 1 }
+    val t0 = System.nanoTime()
+    h = seed
+    var pass = 0
+    while (pass < 4) {
+      var k = 0
+      while (k < n) { h = java.lang.Long.rotateLeft(h ^ a(k), 27) * 0x9FB21C651E98DF25L; k += 1 }
+      pass += 1
+    }
+    ((System.nanoTime() - t0) / 1000000L, h)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val turns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "20000000").toLong
+    val (calPreMs, calHash) = calibrationProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,6 +84,9 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"media fixture warm-up failed: $e") }
 
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
+    // post-window probe: contention that started mid-run shows up here
+    val (calPostMs, calHash2) = calibrationProbe()
+    require(calHash2 == calHash, s"calibration probe non-deterministic: $calHash vs $calHash2")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -46,8 +94,12 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(""","query_errors":{""", ",", "}")
     val tiers = tierRows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // calibration_ms = worse of the pre/post probes: the contended/clean
+    // decision rule lives in BENCH/BASELINE.md (clean-host reference value)
+    val calJson =
+      s""""calibration_ms":${math.max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,"calibration_hash":"${f"$calHash%016x"}""""
     val json =
-      s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec}"""
+      s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec,$calJson}"""
     println(json)
     writeBenchJson(json)
     spark.stop()

@@ -14,6 +14,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val turns = if (args.length > 1) args(1).toLong else 4000000L
+    val (calPreMs, _) = Bench.calibrationProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -23,9 +24,11 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (pps, tiers, sec) = Bench.rollupThroughput(spark, turns, cores)
+    val (calPostMs, _) = Bench.calibrationProbe()
     val tiersJson = tiers.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"bench":"scaling","cores":$cores,"turns":$turns,"points_per_sec":${pps.toLong},"wall_sec":$sec,"tier_rows":$tiersJson}"""
+      s"""{"bench":"scaling","cores":$cores,"turns":$turns,"points_per_sec":${pps.toLong},"wall_sec":$sec,"tier_rows":$tiersJson,"calibration_ms":${math
+          .max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs}"""
     )
     spark.stop()
   }

@@ -23,6 +23,19 @@ class BenchSpec extends SparkTestBase {
     assert(results.map(_._1) == results.map(_._1).sorted)
   }
 
+  test("calibrationProbe: deterministic hash (pinned) and a measured, non-zero window") {
+    // the pinned hash is the anti-DCE witness: if the JIT ever elides the
+    // sweep (or the mix constants drift), calibration_ms stops measuring the
+    // documented workload and the clean-host reference in BENCH/BASELINE.md
+    // becomes meaningless — this catches that as a named failure
+    val (ms, hash) = Bench.calibrationProbe()
+    assert(hash == 0x6f1df10f98500ad9L, f"probe hash drifted: $hash%016x")
+    assert(ms > 0, "probe must take measurable time (DCE suspected)")
+    // different seed → different hash (the sweep really reads the array)
+    val (_, hash2) = Bench.calibrationProbe(seed = 1L)
+    assert(hash2 != hash)
+  }
+
   test("writeBenchJson: file content equals the stdout line; IO failure is non-fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_out")
     val line = """{"metric":"rollup_points_per_sec","value":42}"""
