@@ -192,13 +192,18 @@ final class TableStore(
     *
     * CAVEAT (inherent to TTL leases without fencing tokens — same as any
     * lock-file scheme on a bare filesystem): a holder PAUSED longer than
-    * the TTL mid-operation can be superseded and briefly overlap the new
-    * holder, and staleness compares this process's clock against the lock
-    * file's mtime, so cross-host clock skew eats into the TTL. The TTL
-    * (default 30 min, constructor-tunable) is therefore sized orders of
-    * magnitude above the seconds these metadata ops take AND above sane
-    * NTP skew; the content checks below shrink every remaining window to
-    * the microseconds between one read and one rename.
+    * the TTL mid-operation can be superseded, and staleness compares this
+    * process's clock against the lock file's mtime, so cross-host clock
+    * skew eats into the TTL. The TTL (default 30 min, constructor-tunable)
+    * is sized orders of magnitude above the seconds these metadata ops
+    * take AND above sane NTP skew. On top of that, every leased op
+    * re-verifies the lock still carries OUR body via `assertLeaseHeld`
+    * IMMEDIATELY before each destructive phase (ledger append/rewrite,
+    * manifest/watermark/data deletes) and aborts with MaintenanceLockHeld
+    * without writing when displaced — so a zombie resuming from a
+    * TTL-overrunning pause can no longer corrupt shared state; the only
+    * remaining window is the microseconds between that re-read and the
+    * single following atomic mutation.
     */
   private def withMaintenanceLock[A](op: String)(f: => A): A = {
     Files.createDirectories(manifestDir)
@@ -238,14 +243,50 @@ final class TableStore(
           if (ageMs >= maintenanceLockTtlMs) stealStaleLock(observedBody.get)
       }
     }
+    currentLeaseBody = Some(body)
     try f
     finally {
+      currentLeaseBody = None
       // content-checked delete: never remove a superseder's lease. The
       // read→delete gap is microseconds and only reachable after a TTL
       // overrun (see caveat above).
       try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
       catch { case _: java.io.IOException => () } // superseded after TTL overrun, or already gone
     }
+  }
+
+  // the lease instance this thread holds while inside withMaintenanceLock;
+  // at most one holder exists per lock FILE (CREATE_NEW CAS), so a plain
+  // volatile is enough for the spec-visibility it needs
+  @volatile private var currentLeaseBody: Option[String] = None
+
+  /** Test seam: runs at the top of every `assertLeaseHeld`, BEFORE the
+    * re-read — a spec installs a hook that steals/replaces the lock file
+    * here to deterministically simulate a TTL-overrunning pause (the "GC
+    * pause then superseded" zombie) at the exact pre-mutation instant.
+    */
+  @volatile private[graft] var leaseCheckHook: String => Unit = _ => ()
+
+  /** Re-verify, IMMEDIATELY before a destructive mutation inside a leased
+    * section, that the lock file still carries OUR lease body. A holder
+    * paused past the TTL and superseded (or whose lock was stolen) aborts
+    * here with MaintenanceLockHeld instead of writing over the new
+    * holder's state — this is the cheap fencing-token substitute that
+    * shrinks the zombie-writer window from "rest of the op" to the
+    * microseconds between this read and the one following atomic move.
+    */
+  private def assertLeaseHeld(what: String): Unit = {
+    leaseCheckHook(what)
+    val body = currentLeaseBody.getOrElse(
+      throw new IllegalStateException(s"$what attempted outside a leased section — caller must hold the maintenance lease")
+    )
+    val stillOurs =
+      try Files.readString(maintenanceLockPath) == body
+      catch { case _: java.io.IOException => false } // gone or unreadable — fail SAFE, abort
+    if (!stillOurs)
+      throw new MaintenanceLockHeld(
+        s"maintenance lock on $table: lease lost before $what (superseded after a TTL overrun) — aborting without writing"
+      )
   }
 
   /** Steal a stale lock whose content was observed as `observedBody`:
@@ -415,6 +456,10 @@ final class TableStore(
     }
     val tmp = manifestDir.resolve(s".tmp-ledger-${java.util.UUID.randomUUID}")
     Files.writeString(tmp, out.toString)
+    // a displaced holder must abort BEFORE the rewrite lands: replacing the
+    // ledger with a stale compaction could lose a superseder's fresh append
+    try assertLeaseHeld("lineage-ledger rewrite")
+    catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
     Files.move(tmp, ledger, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -448,6 +493,9 @@ final class TableStore(
     val expected = liveStreamIds.map(watermarkPath(_).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val candidates = listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith("watermark-")).toSeq)
+    // watermark deletes are safe-by-contract (fast path only), but a zombie
+    // should still stand down the moment it is superseded
+    assertLeaseHeld("stream-watermark delete sweep")
     var deleted = 0
     for (p <- candidates)
       if (!expected(p.getFileName.toString) && Files.getLastModifiedTime(p).toMillis < cutoff) {
@@ -891,13 +939,17 @@ final class TableStore(
     // BEFORE deleting, roll the expiring manifests' lineage ids into the
     // ledger so hasCommit (streaming replay guard) survives expiry; a crash
     // between append and delete leaves both — harmless duplicates
-    if (expiring.nonEmpty)
+    if (expiring.nonEmpty) {
+      // a zombie's append racing a superseder's compaction rewrite is the
+      // exact lost-line hazard the lease exists for — re-verify first
+      assertLeaseHeld("lineage-ledger append (expiry)")
       Files.writeString(
         manifestDir.resolve("lineage.log"),
         expiring.map(_.inputSnapshot).mkString("", "\n", "\n"),
         StandardOpenOption.CREATE,
         StandardOpenOption.APPEND
       )
+    }
     // keep the ledger BOUNDED: past a modest size, rewrite it as per-stream
     // ranges (coverage-preserving, idempotent). Size-gated so small ledgers
     // are not rewritten on every expiry; a compacted ledger stays under the
@@ -905,6 +957,7 @@ final class TableStore(
     val ledgerPath = manifestDir.resolve("lineage.log")
     if (Files.exists(ledgerPath) && Files.size(ledgerPath) > 64 * 1024) compactLineageLedgerLocked()
     // delete expired manifests
+    assertLeaseHeld("expired-manifest delete")
     for (s <- expiring)
       Files.deleteIfExists(manifestDir.resolve(f"snapshot-${s.snapshotId}%09d.json"))
     // sweep orphaned commit temp files (a kill between tmp write and the
@@ -924,14 +977,19 @@ final class TableStore(
     // leaks the whole .stage-* directory (a full data copy) that the
     // writer's in-process cleanup never reclaims, and nothing else lists
     // these siblings of data/. Age-gated by the SAME orphan gate as
-    // unreferenced data files — a live writer's stage dir is younger than
-    // the gate by construction (its root mtime is set at creation and at
-    // each partition-subdir creation, early in the write).
+    // unreferenced data files — on the NEWEST mtime found anywhere under
+    // the stage dir, not the root's: directory mtimes refresh only on
+    // direct-child create/delete, so a legitimate staging write whose
+    // Spark job runs longer than the gate would read as stale at the root
+    // while its leaf part-files are still being written. Any in-progress
+    // write keeps producing fresh leaves, so a live dir never ages out; a
+    // crashed writer's leaves all stop aging together.
     val stageCutoff = System.currentTimeMillis() - orphanFileGateMs
     val tableDir = Paths.get(s"$base/$table")
+    assertLeaseHeld("orphan/stage/data-file delete sweep")
     if (Files.isDirectory(tableDir))
       listDir(tableDir)(_.filter(_.getFileName.toString.startsWith(".stage-")).toSeq).foreach { p =>
-        try if (Files.getLastModifiedTime(p).toMillis < stageCutoff) deleteRecursively(p)
+        try if (newestMtimeUnder(p) < stageCutoff) deleteRecursively(p)
         catch { case _: java.nio.file.NoSuchFileException => () }
       }
     // delete unreferenced data files (only snapshot-prefixed files are
@@ -978,6 +1036,17 @@ final class TableStore(
     }
     deleted
   }
+
+  /** Newest mtime of `p` or anything beneath it. A child vanishing during
+    * the walk (the writer finishing and cleaning up its own stage dir) reads
+    * as "fresh NOW" — the sweep must then skip this dir, never delete it.
+    */
+  private def newestMtimeUnder(p: java.nio.file.Path): Long =
+    try {
+      val own = Files.getLastModifiedTime(p).toMillis
+      if (Files.isDirectory(p)) listDir(p)(_.toSeq).foldLeft(own)((m, c) => math.max(m, newestMtimeUnder(c)))
+      else own
+    } catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) listDir(p)(_.toSeq).foreach(deleteRecursively)

@@ -450,6 +450,62 @@ class TableStoreSpec extends SparkTestBase {
     assert(!Files.exists(lock))
   }
 
+  test("zombie holder: a lease stolen mid-op aborts at the pre-mutation re-verify, writing NOTHING") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
+    store.write(df("2024-01-01" -> 1), "day", "stream-q-batch-1", append = true)
+    val mdir = Paths.get(s"$base/tier_x/_manifests")
+    val lock = mdir.resolve("maintenance.lock")
+    val ledger = mdir.resolve("lineage.log")
+    // pause hook: at the instant of the pre-mutation re-verify, replace the
+    // lease with a superseder's — exactly what a holder GC-paused past the
+    // TTL observes when it resumes (its lease was stolen and re-claimed)
+    def installSteal(): Unit = store.leaseCheckHook = _ =>
+      Files.writeString(lock, "pid=2 op=maintain nonce=superseder")
+    def reset(): Unit = { store.leaseCheckHook = _ => (); Files.deleteIfExists(lock) }
+    def tmpLedgers() = {
+      val s = Files.list(mdir)
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".tmp-ledger-")).toList
+      finally s.close()
+    }
+
+    // --- expireSnapshots: displaced holder aborts BEFORE the ledger append
+    installSteal()
+    intercept[MaintenanceLockHeld](store.expireSnapshots(keepLast = 1))
+    assert(!Files.exists(ledger), "displaced expiry must not have appended to the ledger")
+    assert(store.snapshots.size == 2, "displaced expiry must not have deleted a manifest")
+    assert(Files.readString(lock).contains("superseder"), "the superseder's lease must survive the abort")
+    reset()
+    // healthy expiry (seeds the ledger for the compaction leg)
+    store.expireSnapshots(keepLast = 1)
+    assert(Files.exists(ledger) && store.snapshots.size == 1)
+    val ledgerBefore = Files.readString(ledger)
+
+    // --- compactLineageLedger: displaced holder aborts BEFORE the rewrite
+    installSteal()
+    intercept[MaintenanceLockHeld](store.compactLineageLedger())
+    assert(Files.readString(ledger) == ledgerBefore, "displaced compaction must not rewrite the ledger")
+    assert(tmpLedgers().isEmpty, "the aborted rewrite must clean up its tmp file")
+    reset()
+
+    // --- gcStreamWatermarks: displaced holder aborts BEFORE the delete sweep
+    store.setStreamWatermark("deadstream", 5L)
+    val wm = {
+      val s = Files.list(mdir)
+      try s.iterator().asScala.filter(_.getFileName.toString.startsWith("watermark-")).toList.head
+      finally s.close()
+    }
+    Files.setLastModifiedTime(wm, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+    installSteal()
+    intercept[MaintenanceLockHeld](store.gcStreamWatermarks(maxAgeMs = 1L))
+    assert(Files.exists(wm), "displaced GC must not have deleted a watermark")
+    reset()
+    // the healthy run deletes it (proves the abort, not the setup, protected it)
+    assert(store.gcStreamWatermarks(maxAgeMs = 1L) == 1)
+    assert(!Files.exists(wm))
+  }
+
   test("stale-lock steal: confirmed body is removed; a changed lease is RESTORED, never destroyed") {
     val base = tmp()
     val store = new TableStore(base, "tier_x")
@@ -579,12 +635,26 @@ class TableStoreSpec extends SparkTestBase {
     Files.writeString(stale.resolve("day=2024-01-01/part-0.parquet"), "x")
     val fresh = Paths.get(s"$base/t/.stage-9-live")
     Files.createDirectories(fresh)
+    // a LONG-RUNNING live write: the root dir mtime aged past the gate
+    // (dir mtimes refresh only on direct-child create/delete) while its
+    // leaf part-file is still being written — must NEVER be swept
+    val longRun = Paths.get(s"$base/t/.stage-9-longrun")
+    Files.createDirectories(longRun.resolve("day=2024-01-02"))
+    Files.writeString(longRun.resolve("day=2024-01-02/part-0.parquet"), "still-writing")
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - TableStore.DefaultOrphanFileGateMs - 3600 * 1000L)
+    // crashed writer: EVERYTHING under the dir stopped aging together
+    Files.setLastModifiedTime(stale.resolve("day=2024-01-01/part-0.parquet"), old)
+    Files.setLastModifiedTime(stale.resolve("day=2024-01-01"), old)
     Files.setLastModifiedTime(stale, old)
+    // long-running writer: root + subdir aged, leaf fresh (default mtime)
+    Files.setLastModifiedTime(longRun.resolve("day=2024-01-02"), old)
+    Files.setLastModifiedTime(longRun, old)
     store.expireSnapshots(keepLast = 1)
     assert(!Files.exists(stale), "aged stage dir (crashed writer) must be swept recursively")
     assert(Files.exists(fresh), "a live writer's fresh stage dir must survive")
+    assert(Files.exists(longRun.resolve("day=2024-01-02/part-0.parquet")),
+      "a stage dir with ANY fresh leaf is a live long-running write, not an orphan")
   }
 
   test("expiry reclaims expired-manifest files immediately but never a FRESH unreferenced file (in-flight commit)") {
