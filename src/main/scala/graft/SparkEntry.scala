@@ -42,8 +42,10 @@ object SparkEntry {
     // version suffix: bump when syntheticMedia's content changes so a stale
     // materialization from an older build is never picked up (v2 = real
     // WAVs; v3 = golden expected_f0/expected_dims feature columns; v4 =
-    // real AVI video rows + golden expected_frame_bytes column)
-    s"$base/media_corpus_v4.parquet"
+    // real AVI video rows + golden expected_frame_bytes column; v5 = real
+    // MP4 containers with parseable moov metadata + honest per-modality
+    // metadata columns)
+    s"$base/media_corpus_v5.parquet"
   }
 
   private[graft] def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
@@ -453,6 +455,18 @@ object SparkEntry {
         .toDF()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("bytes"))
+    }),
+
+    // multimodal: REAL container-metadata parse from the binary payloads —
+    // PNG dims (ImageIO), WAV duration (javax.sound), AVI (RIFF walker),
+    // MP4 (ISO BMFF moov/mvhd/tkhd walker) — hash-compared against the
+    // honest declared metadata columns of the same fixture rows
+    "q46_media_metadata" -> ((s, dir) => {
+      import graft.multimodal.MediaOps
+      MediaOps
+        .extractMetadata(mediaCorpus(s))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("width"), col("height"), col("duration_ms"))
     }),
 
     // O8: auto log-normalize — mixed gate on purpose: daily value sums pass
@@ -1031,8 +1045,11 @@ object SparkEntry {
     // sampled payload sizes come out of the AVI container, so their byte
     // sums compare against the golden column frozen at materialization
     // (the q24 pattern). Oracle reads the SAME parquet rows Spark read.
+    // mp4 stub slices cut the mdat BITSTREAM payload, whose length is the
+    // generator's constant 256 + (doc_id % 512) — inlined like the LSH plane
+    // weights (Mp4CodecSpec pins octet-parity between formula and mdat)
     "q25_frame_sample" ->
-      s"""WITH v AS (SELECT doc_id, octet_length(media) AS len, duration_ms
+      s"""WITH v AS (SELECT doc_id, 256 + (doc_id % 512) AS len, duration_ms
         |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime = 'video/mp4'),
         |c AS (SELECT doc_id, len, greatest(duration_ms // 5000, 1) AS n,
         |             greatest(len // greatest(duration_ms // 5000, 1), 1) AS chunk FROM v),
@@ -1126,6 +1143,12 @@ object SparkEntry {
     // reads them back, so the live decode is parquet-vs-parquet checked
     "q24_media_features" ->
       s"""SELECT doc_id AS vec_id, expected_f0 AS f0, expected_dims AS dims
+        |FROM read_parquet('$mediaFixturePath/*.parquet')""".stripMargin,
+    // live byte-parse (ImageIO/javax.sound/RIFF/ISO-BMFF walkers) vs the
+    // fixture's honest declared metadata columns — a container-parser
+    // regression on ANY modality hash-mismatches here
+    "q46_media_metadata" ->
+      s"""SELECT doc_id, mime, width, height, duration_ms
         |FROM read_parquet('$mediaFixturePath/*.parquet')""".stripMargin,
     // q17-q19 (Spark murmur3/xxhash64/crc32 sketches — DuckDB has none of
     // those hashes), q27 (IVF — iterative Lloyd not SQL-expressible),

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * (`AudioCodec`, JDK `javax.sound.sampled`: WAV → PCM samples → band RMS
   * features), and VIDEO decode is REAL for the AVI container
   * (`VideoCodec`: RIFF parsing + per-frame JPEG via `javax.imageio` for
-  * MJPEG, raw bottom-up BGR rows for uncompressed BI_RGB). Only video
-  * formats whose bitstreams have no offline decoder (H.264/VP9 in
-  * MP4/WebM) remain on the clearly marked STUB (`FakeCodec`), a
+  * MJPEG, raw bottom-up BGR rows for uncompressed BI_RGB), and MP4
+  * CONTAINER METADATA is REAL (`Mp4Codec`: ISO BMFF moov/mvhd/tkhd →
+  * duration/dims/sample count, mdat → the bitstream payload). Only the
+  * H.264/VP9 BITSTREAM decode itself — features and frame payloads for
+  * MP4/WebM rows — remains on the clearly marked STUB (`FakeCodec`), a
   * deterministic pure function of the bytes. The surrounding dataflow —
   * schema, partitioning, batch iteration, feature/resize/frame-sample
   * plans — is identical for all modalities; swapping FakeCodec for e.g. a
@@ -43,16 +45,25 @@ object MediaOps {
   private def isAviMime(mime: String): Boolean =
     mime == "video/avi" || mime == "video/x-msvideo" || mime == "video/vnd.avi"
 
-  /** ======== STUB BOUNDARY (codec-less VIDEO formats only — images use
-    * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec) ===========
-    * A real implementation decodes container bytes with a video codec; the
+  /** ======== STUB BOUNDARY (codec-less video BITSTREAMS only — images use
+    * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec, and MP4
+    * CONTAINER METADATA is real via Mp4Codec: duration/dims/sample-count
+    * parse from moov/mvhd/tkhd, and the bytes handed to this stub are the
+    * actual `mdat` bitstream payload, not container headers) ================
+    * A real implementation decodes the bitstream with a video codec; the
     * JDK has none for H.264/VP9, so for MP4/WebM rows this deterministic
-    * fake stands in: "frames" are byte slices, features are a fixed-width
-    * fold of the bytes. Replace with a codec binding; signatures stay
-    * identical (VideoCodec demonstrates the swap for AVI).
+    * fake stands in for FEATURES and FRAME PAYLOADS only: "frames" are
+    * byte slices, features are a fixed-width fold of the bytes. Replace
+    * with a codec binding; signatures stay identical (VideoCodec
+    * demonstrates the swap for AVI).
     */
   object FakeCodec {
-    def decode(media: Array[Byte]): Array[Byte] = media // identity "decode"
+    /** "decode" = hand the stub the real bitstream: for a parseable MP4
+      * that is the `mdat` payload (container headers are metadata, not
+      * pixels); for anything else the bytes as-is
+      */
+    def decode(media: Array[Byte]): Array[Byte] =
+      if (Mp4Codec.isMp4(media)) Mp4Codec.mdatPayload(media).getOrElse(media) else media
 
     def features(media: Array[Byte], dims: Int = 8): Array[Float] = {
       val acc = new Array[Float](dims)
@@ -86,13 +97,16 @@ object MediaOps {
           case _ => if (id % 6 == 5) "video/avi" else "video/mp4"
         }
         // image rows carry REAL (decodable) PNG bytes, audio rows REAL WAV
-        // bytes, and half the video rows REAL AVI bytes (alternating MJPEG /
+        // bytes, half the video rows REAL AVI bytes (alternating MJPEG /
         // lossless raw-DIB payloads, frame count matching the duration
-        // metadata at 2 fps); only the mp4 rows carry seeded opaque bytes
-        // for the FakeCodec stub path
+        // metadata at 2 fps), and the mp4 rows a REAL ISO BMFF container
+        // (parseable moov/mvhd/tkhd metadata) whose mdat bitstream is
+        // seeded opaque bytes for the FakeCodec stub path
+        val durationMs = 1000 * (1 + (id % 30)).toInt
+        val nSamples = 400 + (id % 400).toInt
         val bytes = (id % 3) match {
           case 0 => ImageCodec.syntheticPng(seed = id, w = w, h = 16)
-          case 1 => AudioCodec.syntheticWav(seed = id, nSamples = 400 + (id % 400).toInt)
+          case 1 => AudioCodec.syntheticWav(seed = id, nSamples = nSamples)
           case _ if id % 6 == 5 =>
             VideoCodec.syntheticAvi(
               seed = id,
@@ -103,13 +117,62 @@ object MediaOps {
               mjpeg = (id / 6) % 2 == 0
             )
           case _ =>
-            val rnd = new scala.util.Random(id) // seeded per-row: deterministic
-            val b = new Array[Byte](256 + (id % 512).toInt)
-            rnd.nextBytes(b)
-            b
+            Mp4Codec.syntheticMp4(
+              seed = id,
+              w = w,
+              h = 16,
+              durationMs = durationMs.toLong,
+              nSamples = 2L * (1 + (id % 30)), // 2 fps, like the AVI rows
+              audioTrackFirst = (id / 3) % 2 == 0, // half audio-first: dims must come from the 'vide' trak
+              v1Boxes = (id / 3) % 4 == 1 // quarter 64-bit mvhd/tkhd
+            )
         }
-        MediaDoc(id, mime, bytes, w, 16, 1000 * (1 + (id % 30)).toInt)
+        // metadata columns are HONEST per modality — they state exactly what
+        // the container bytes carry, so extractMetadata's live byte parse
+        // can be oracle-compared against them column-for-column:
+        // images have no duration; audio has no dims and a duration that
+        // follows its sample count; video carries all three
+        (id % 3) match {
+          case 0 => MediaDoc(id, mime, bytes, w, 16, 0)
+          case 1 => MediaDoc(id, mime, bytes, 0, 0, math.round(nSamples * 1000.0 / 8000).toInt)
+          case _ => MediaDoc(id, mime, bytes, w, 16, durationMs)
+        }
       }
+  }
+
+  /** parsed-from-bytes media metadata — every column re-derived from the
+    * binary payload by the REAL container parsers
+    */
+  final case class MediaMeta(doc_id: Long, mime: String, width: Int, height: Int, duration_ms: Int)
+
+  /** partition-batched metadata extraction: REAL container parse for every
+    * modality — PNG dims via ImageIO, WAV duration via javax.sound, AVI via
+    * the RIFF walker, MP4 via the ISO BMFF walker (moov/mvhd/tkhd) — no
+    * stub anywhere on this path. Unknown mimes REJECT loudly: emitting
+    * zeros would read as real metadata downstream.
+    */
+  def extractMetadata(media: Dataset[MediaDoc]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { d =>
+        if (d.mime.startsWith("image/")) {
+          val img = ImageCodec.decode(d.media)
+          MediaMeta(d.doc_id, d.mime, img.getWidth, img.getHeight, 0)
+        } else if (d.mime.startsWith("audio/")) {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(d.media))
+          val ms = math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate).toInt
+          MediaMeta(d.doc_id, d.mime, 0, 0, ms)
+        } else if (isAviMime(d.mime)) {
+          val avi = VideoCodec.decode(d.media)
+          MediaMeta(d.doc_id, d.mime, avi.width, avi.height, math.round(avi.frames.size * 1000.0 / avi.fps).toInt)
+        } else if (Mp4Codec.isMp4(d.media)) {
+          val m = Mp4Codec.parseMeta(d.media)
+          MediaMeta(d.doc_id, d.mime, m.width, m.height, m.durationMs.toInt)
+        } else
+          throw new IllegalArgumentException(s"doc ${d.doc_id}: no metadata parser for mime '${d.mime}'")
+      }
+    }
   }
 
   /** partition-batched feature extraction (mapInPandas-shaped: per-partition
@@ -185,11 +248,14 @@ object MediaOps {
             Frame(d.doc_id, i, avi.frames(idx))
           }
         } else {
-          val chunk = math.max(d.media.length / n, 1)
+          // stub slices cut the BITSTREAM (mdat payload for MP4), not
+          // container headers — same boundary as FakeCodec.features
+          val payload = FakeCodec.decode(d.media)
+          val chunk = math.max(payload.length / n, 1)
           (0 until n).iterator.map { i =>
-            val from = math.min(i * chunk, math.max(d.media.length - 1, 0))
-            val until = math.min(from + chunk, d.media.length)
-            Frame(d.doc_id, i, java.util.Arrays.copyOfRange(d.media, from, until))
+            val from = math.min(i * chunk, math.max(payload.length - 1, 0))
+            val until = math.min(from + chunk, payload.length)
+            Frame(d.doc_id, i, java.util.Arrays.copyOfRange(payload, from, until))
           }
         }
       }

@@ -15,9 +15,10 @@ import javax.imageio.ImageIO
   * Everything is a pure function of the input bytes — executor-safe and
   * deterministic at any parallelism, like [[ImageCodec]]/[[AudioCodec]].
   * The writer emits the minimal standard layout (`hdrl(avih, strl(strh,
-  * strf))` + `movi` with word-aligned `00dc`/`00db` chunks) so fixtures are
-  * ordinary AVI files, and the parser is chunk-walking: unknown chunks
-  * (`idx1`, `JUNK`, extra streams) are skipped by their declared size.
+  * strf))` + `movi` with word-aligned `NNdc`/`NNdb` chunks, NN = the video
+  * stream's ordinal) so fixtures are ordinary AVI files, and the parser is
+  * chunk-walking: unknown chunks (`idx1`, `JUNK`, other streams' chunks)
+  * are skipped by their declared size.
   */
 object VideoCodec {
 
@@ -52,8 +53,10 @@ object VideoCodec {
     (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) | ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
 
   /** parse an AVI: header fields from `avih`/`strh`/`strf` of the first
-    * video stream, frame payloads from the `movi` list's stream-00 chunks
-    * (`00dc` compressed / `00db` uncompressed), in file order. Walks only
+    * video stream, frame payloads from the `movi` list's chunks carrying
+    * THAT stream's ordinal (`NNdc` compressed / `NNdb` uncompressed, where
+    * NN is the video stream's position among the strh headers — an
+    * audio-first mux puts video at `01dc`), in file order. Walks only
     * the declared RIFF payload (trailing padding after it is legal and
     * ignored) and REJECTS codecs it cannot decode — silent garbage pixels
     * are the worst failure mode for a decoder, so anything that is neither
@@ -72,6 +75,14 @@ object VideoCodec {
     // strf carries no stream id — it belongs to the strh that precedes it in
     // the same strl LIST, so only the one right after the video strh counts
     var expectVideoStrf = false
+    // movi chunk ids carry the STREAM ORDINAL ("01dc" = stream 1 compressed):
+    // count strh chunks in hdrl order to learn which ordinal the video
+    // stream holds — an AVI muxed audio-first carries its frames as
+    // '01dc'/'01db', and hard-coding stream 00 would decode it frame-less
+    var streamOrdinal = -1
+    var videoStream = -1
+    var frameIdDc = "" // f"%02ddc" / f"%02ddb" of the video stream
+    var frameIdDb = ""
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
     // walk one chunk run [from, until); LISTs recurse into their payload
@@ -90,12 +101,18 @@ object VideoCodec {
             if (mspf > 0) fps = 1e6 / mspf
             width = u32(bytes, body + 32).toInt
             height = u32(bytes, body + 36).toInt
-          case "strh" if size >= 28 =>
-            if (fourcc(bytes, body) == "vids" && handler.isEmpty) {
+          case "strh" =>
+            // EVERY strh claims the next ordinal, even a malformed short one —
+            // skipping it would shift all later streams' chunk ids
+            streamOrdinal += 1
+            if (size >= 28 && fourcc(bytes, body) == "vids" && handler.isEmpty) {
               val scale = u32(bytes, body + 20)
               val rate = u32(bytes, body + 24)
               if (scale > 0 && rate > 0) fps = rate.toDouble / scale
               handler = fourcc(bytes, body + 4)
+              videoStream = streamOrdinal
+              frameIdDc = f"$videoStream%02ddc"
+              frameIdDb = f"$videoStream%02ddb"
               expectVideoStrf = true
             } else expectVideoStrf = false // an audio/other stream's strf follows
           case "strf" if size >= 20 && expectVideoStrf =>
@@ -105,9 +122,9 @@ object VideoCodec {
             topDown = biHeight < 0
             bitCount = ((bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8))
             compression = Some(u32(bytes, body + 16))
-          case "00dc" | "00db" =>
+          case fid if videoStream >= 0 && (fid == frameIdDc || fid == frameIdDb) =>
             frames += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
-          case _ => () // idx1, JUNK, other streams
+          case _ => () // idx1, JUNK, other streams' chunks
         }
         p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
@@ -226,8 +243,14 @@ object VideoCodec {
     encodeAvi(resized, fps.toInt, avi.mjpeg)
   }
 
-  /** write frames as a standard minimal AVI */
-  def encodeAvi(frames: IndexedSeq[BufferedImage], fps: Int, mjpeg: Boolean): Array[Byte] = {
+  /** write frames as a standard minimal AVI. `audioFirst` muxes a silent
+    * PCM audio stream as stream 0 (auds strl before the video strl, one
+    * `00wb` chunk in movi) so the video stream lands at ordinal 1 with
+    * `01dc`/`01db` frame chunks — the layout real muxers produce for files
+    * with an audio track, used by fixtures to pin the ordinal-tracking
+    * decode path.
+    */
+  def encodeAvi(frames: IndexedSeq[BufferedImage], fps: Int, mjpeg: Boolean, audioFirst: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && fps > 0, "encodeAvi needs frames and a positive fps")
     val w = frames.head.getWidth
     val h = frames.head.getHeight
@@ -267,7 +290,7 @@ object VideoCodec {
 
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
     avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
-    avih.putInt(frames.size).putInt(0).putInt(1).putInt(0)
+    avih.putInt(frames.size).putInt(0).putInt(if (audioFirst) 2 else 1).putInt(0)
     avih.putInt(w).putInt(h) // + 4 reserved ints, zero
     val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
     strh.put("vids".getBytes("US-ASCII")).put((if (mjpeg) "MJPG" else "DIB ").getBytes("US-ASCII"))
@@ -280,11 +303,26 @@ object VideoCodec {
     if (mjpeg) strf.put("MJPG".getBytes("US-ASCII")) else strf.putInt(0) // biCompression (BI_RGB = 0)
     strf.putInt(payloads.map(_.length).max) // biSizeImage (informational)
 
+    // optional leading audio stream: 8 kHz 8-bit mono PCM silence
+    val audioStrl = if (!audioFirst) Array.emptyByteArray
+    else {
+      val astrh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      astrh.put("auds".getBytes("US-ASCII")).putInt(0) // no handler fourcc for PCM
+      astrh.putInt(0).putInt(0).putInt(0)
+      astrh.putInt(1).putInt(8000) // dwScale / dwRate
+      astrh.putInt(0).putInt(8000).putInt(0).putInt(0).putInt(0)
+      val wfx = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN) // WAVEFORMATEX sans cbSize
+      wfx.putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      list("strl", chunk("strh", astrh.array()) ++ chunk("strf", wfx.array()))
+    }
+    val vidOrd = if (audioFirst) "01" else "00"
     val hdrl = list(
       "hdrl",
-      chunk("avih", avih.array()) ++ list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
+      chunk("avih", avih.array()) ++ audioStrl ++
+        list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
     )
-    val movi = list("movi", payloads.toArray.flatMap(p => chunk(if (mjpeg) "00dc" else "00db", p)))
+    val audioChunk = if (audioFirst) chunk("00wb", new Array[Byte](8000)) else Array.emptyByteArray
+    val movi = list("movi", audioChunk ++ payloads.toArray.flatMap(p => chunk((if (mjpeg) vidOrd + "dc" else vidOrd + "db"), p)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)

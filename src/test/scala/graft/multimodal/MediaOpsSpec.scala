@@ -58,7 +58,8 @@ class MediaOpsSpec extends SparkTestBase {
         val avi = VideoCodec.decode(d.media) // REAL decode of the re-encoded AVI
         assert(avi.width == 32 && avi.height == 32 && avi.frames.nonEmpty)
         assert(VideoCodec.frameImage(avi, 0).getWidth == 32)
-      } else assert(d.height == 16) // wav/mp4 untouched
+      } else if (d.mime == "video/mp4") assert(d.height == 16) // untouched
+      else assert(d.height == 0) // wav untouched (audio has no dims)
     }
     // the ORIGINAL image-only pass keeps its semantics under the old name:
     // video rows (even decodable AVIs) pass through byte-identical, so
@@ -67,7 +68,11 @@ class MediaOpsSpec extends SparkTestBase {
     val orig = MediaOps.syntheticMedia(spark, 30).collect().map(d => d.doc_id -> d).toMap
     legacy.foreach { d =>
       if (d.mime.startsWith("image/")) assert(d.width == 32 && d.height == 32)
-      else assert(d.height == 16 && d.media.sameElements(orig(d.doc_id).media), s"doc ${d.doc_id} must pass through")
+      else
+        assert(
+          d.height == orig(d.doc_id).height && d.media.sameElements(orig(d.doc_id).media),
+          s"doc ${d.doc_id} must pass through"
+        )
     }
   }
 

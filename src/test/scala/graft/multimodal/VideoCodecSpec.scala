@@ -68,6 +68,29 @@ class VideoCodecSpec extends SparkTestBase {
     assert(mj.mjpeg && mj.width == 4 && VideoCodec.frameImage(mj, 0).getHeight == 4)
   }
 
+  test("audio-first mux: video at stream ordinal 1 decodes its 01dc/01db frames losslessly") {
+    // a valid AVI with audio as stream 0 and video as stream 1 — real muxers
+    // produce this for any file with an audio track; the decoder must follow
+    // the video stream's ORDINAL, not hard-code 00dc/00db
+    val all = IndexedSeq(solid(0xff0000, w = 6, h = 5), solid(0x00ff00, w = 6, h = 5))
+    for (mjpeg <- Seq(false, true)) {
+      val bytes = VideoCodec.encodeAvi(all, fps = 4, mjpeg = mjpeg, audioFirst = true)
+      val avi = VideoCodec.decode(bytes)
+      assert(avi.mjpeg == mjpeg && avi.width == 6 && avi.height == 5 && avi.fps == 4.0)
+      assert(avi.frames.size == 2, s"audio-first mux must yield the video frames (mjpeg=$mjpeg)")
+      if (!mjpeg)
+        for (i <- all.indices; y <- 0 until 5; x <- 0 until 6)
+          assert((VideoCodec.frameImage(avi, i).getRGB(x, y) & 0xffffff) == (all(i).getRGB(x, y) & 0xffffff))
+      // the whole feature path works on the audio-first file too
+      assert(VideoCodec.features(bytes, dims = 4).length == 4)
+      // and the audio chunk (00wb, 8000 zero bytes) never leaks into frames
+      assert(avi.frames.forall(_.length < 8000))
+    }
+    // video-first layout still decodes from 00dc (ordinal 0) — no regression
+    val plain = VideoCodec.decode(VideoCodec.encodeAvi(all, fps = 4, mjpeg = false))
+    assert(plain.frames.size == 2)
+  }
+
   test("parser skips unknown chunks and rejects non-AVI or truncated bytes") {
     val ok = VideoCodec.encodeAvi(IndexedSeq(solid(0x112233)), fps = 1, mjpeg = false)
     // splice a JUNK chunk between hdrl and movi: parser must skip it by size
