@@ -141,7 +141,9 @@ object Ann {
     * hot-bucket cap. A bucket of B rows would emit B² join rows, so beyond
     * maxBucketSize the bucket is THINNED to ≈cap rows by the deterministic
     * per-bucket-salted hash filter (graft.spark.Thinning — the salt
-    * rationale lives there), bounding the join output by |buckets|·cap².
+    * rationale lives there), bounding the join output by ≈|buckets|·cap²
+    * in expectation (the hash-modulus survivor count is binomial with mean
+    * cap, stddev √cap — see Thinning's scaladoc; not a hard cutoff).
     * Thinning, not dropping: the bucket id space is only nTables·2^nPlanes
     * values, so at corpus scale EVERY bucket exceeds any fixed cap —
     * dropping whole hot buckets would silently return zero results exactly
@@ -187,8 +189,9 @@ object Ann {
     // other side reads a ReusedExchange — without it each side (and the
     // census) re-runs the scan + nTables·nPlanes plane dot products per row
     // (4 full sweeps, measured 4–6× slower at sf0.1). The shuffled frame is
-    // the THINNED one, bounded by |buckets|·cap ≈ nTables·2^nPlanes·cap rows
-    // at ANY corpus size, so the exchange itself stays small at 100 TB.
+    // the THINNED one, ≈|buckets|·cap ≈ nTables·2^nPlanes·cap rows in
+    // expectation (binomial per bucket, tightly concentrated — Thinning's
+    // scaladoc) at ANY corpus size, so the exchange stays small at 100 TB.
     val bucketed = bucketedCapped(corpus, nPlanes, nTables, resolveDims(corpus, dims), maxBucketSize)
       .repartition(col("t"), col("b"))
     bucketed

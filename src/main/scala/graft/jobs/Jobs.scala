@@ -19,6 +19,23 @@ object Jobs {
     // master comes from spark-submit; default for bare `java -cp` runs
     (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
   }
+
+  /** escape a string value for interpolation into the machine-readable
+    * JSON report lines (runAll/cron parse them): a tier, cutoff, or path
+    * carrying a quote/backslash/control char must emit a well-formed line,
+    * not corrupt the channel — same class of guard as the ledger's
+    * tab/newline rejection at the commit boundary.
+    */
+  private[graft] def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.result()
+  }
 }
 
 /** Rollup: transcripts parquet → raw/1m/1h/1d tier stores with lineage
@@ -36,7 +53,7 @@ object Rollup {
     val snaps = TierBuilder.build(spark, turns, storeBase, inputSnapshot)
     snaps.toSeq.sortBy(_._1).foreach { case (tier, s) =>
       println(
-        s"""{"tier":"$tier","snapshot":${s.snapshotId},"input":"${s.inputSnapshot}","partitions":${s.partitions.size},"rows":${s.partitions.map(_.rows).sum}}"""
+        s"""{"tier":"${Jobs.jsonStr(tier)}","snapshot":${s.snapshotId},"input":"${Jobs.jsonStr(s.inputSnapshot)}","partitions":${s.partitions.size},"rows":${s.partitions.map(_.rows).sum}}"""
       )
     }
     spark.stop()
@@ -170,7 +187,7 @@ object Maintain {
     val store = new TableStore(storeBase, s"tier_$tier", lockTtlMs, orphanGateMs)
     val ttlSnap = ttlCutoff.map { cutoff =>
       val s = store.dropPartitionsOlderThan(spark, "day", cutoff, s"maintain-ttl-$cutoff")
-      report(s"""{"step":"ttl","tier":"$tier","cutoff":"$cutoff","snapshot":${s.snapshotId},"partitions":${s.partitions.size}}""")
+      report(s"""{"step":"ttl","tier":"${Jobs.jsonStr(tier)}","cutoff":"${Jobs.jsonStr(cutoff)}","snapshot":${s.snapshotId},"partitions":${s.partitions.size}}""")
       s
     }
     val fragmented = store.currentSnapshot.toSeq
@@ -187,7 +204,7 @@ object Maintain {
       try { store.compactPartition(spark, "day", p); compacted += 1 }
       catch { case e: graft.store.ConcurrentTableModification => System.err.println(s"[maintain] skip $p: ${e.getMessage}") }
     }
-    report(s"""{"step":"compact","tier":"$tier","compacted":$compacted}""")
+    report(s"""{"step":"compact","tier":"${Jobs.jsonStr(tier)}","compacted":$compacted}""")
     // expireSnapshots already compacts the lineage ledger past its size gate
     // (a second unconditional pass would rewrite the whole file again for
     // nothing — sub-gate ledgers are bounded by the gate itself). Both ops
@@ -196,9 +213,9 @@ object Maintain {
     // the per-step lines above/below make a mid-cycle lock legible (the
     // steps that DID land are already reported).
     val reclaimed = store.expireSnapshots(keepLast = keepSnapshots, minSnapshotAgeMs = minSnapshotAgeMs)
-    report(s"""{"step":"expire","tier":"$tier","filesReclaimed":$reclaimed}""")
+    report(s"""{"step":"expire","tier":"${Jobs.jsonStr(tier)}","filesReclaimed":$reclaimed}""")
     val wmDeleted = store.gcStreamWatermarks(watermarkMaxAgeMs)
-    report(s"""{"step":"watermark_gc","tier":"$tier","watermarksGCed":$wmDeleted}""")
+    report(s"""{"step":"watermark_gc","tier":"${Jobs.jsonStr(tier)}","watermarksGCed":$wmDeleted}""")
     Report(compacted, reclaimed, wmDeleted, ttlSnap.map(_.snapshotId), ttlSnap.map(_.partitions.size))
   }
 
@@ -217,11 +234,11 @@ object Maintain {
         val r = run(spark, a.storeBase, tier, a.maxFiles, a.keepSnapshots, a.ttlCutoff, a.watermarkMaxAgeMs, report,
           a.lockTtlMs, a.orphanGateMs, a.minSnapshotAgeMs)
         report(
-          s"""{"step":"done","tier":"$tier","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}"""
+          s"""{"step":"done","tier":"${Jobs.jsonStr(tier)}","compacted":${r.compacted},"filesReclaimed":${r.filesReclaimed},"watermarksGCed":${r.watermarksGCed}}"""
         )
       } catch {
         case e: graft.store.MaintenanceLockHeld =>
-          report(s"""{"step":"locked","tier":"$tier"}""")
+          report(s"""{"step":"locked","tier":"${Jobs.jsonStr(tier)}"}""")
           System.err.println(s"[maintain] $tier cycle stopped — lease held by another maintenance writer: ${e.getMessage}")
       }
 
@@ -256,7 +273,7 @@ object DetectJob {
       EngineConfig(resolution = resolution)
     )
     validated.write.mode("overwrite").parquet(outPath)
-    println(s"""{"job":"detect","out":"$outPath","validated":${spark.read.parquet(outPath).count()}}""")
+    println(s"""{"job":"detect","out":"${Jobs.jsonStr(outPath)}","validated":${spark.read.parquet(outPath).count()}}""")
     spark.stop()
   }
 }

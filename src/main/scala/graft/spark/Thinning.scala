@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions.{ceil, lit, pmod, xxhash64}
   * any multi-table recall guarantee. Per-bucket salting makes survival
   * independent across buckets.
   *
+  * The cap is an EXPECTED-VALUE bound, not a hard one: a row survives when
+  * its salted hash ≡ 0 mod ceil(B/cap), so the survivor count is binomial
+  * with mean ≈ cap (stddev ≈ √cap) — an unlucky bucket can exceed `cap` by
+  * a few √cap. Downstream sizing ("join output ≈ |buckets|·cap²") holds in
+  * expectation and concentrates tightly for the caps used here (≥ 256);
+  * anything that needs a STRICT bound must rank by the salted hash and keep
+  * the top `cap` instead, at the cost of a per-bucket sort.
+  *
   * @param bucketSize column holding the bucket's total row count
   * @param cap        max rows a bucket may keep (≥ 1)
   * @param salt       row id + the full bucket identity, e.g. (vec_id, t, b)

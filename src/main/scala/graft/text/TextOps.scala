@@ -174,7 +174,8 @@ object TextOps {
     // band signatures, e.g. 1000 copies of one boilerplate doc), and every
     // band of such a clone group trips the cap — dropping would return zero
     // candidates for exactly the most-duplicated documents. Sampled-bucket
-    // output stays bounded by |buckets|·cap². Unlike the ANN census (a
+    // output stays ≈|buckets|·cap² in expectation (binomial survivor count,
+    // mean cap — Thinning's scaladoc). Unlike the ANN census (a
     // bounded bucket-id space that would funnel a window), the key here is
     // the 64-bit band-signature hash — high-cardinality by construction —
     // so the count runs as a window over the SAME (band, bucket) exchange

@@ -167,4 +167,30 @@ class MaintainSpec extends SparkTestBase {
     assert(r1.watermarksGCed == 1 && store.streamWatermark("slow-stream").isEmpty,
       s"1d guard must collect the 2-day-old watermark: $r1")
   }
+
+  test("step-report lines stay well-formed JSON for hostile tier/cutoff values") {
+    // unit contract of the escaper itself
+    assert(Jobs.jsonStr("raw") == "raw")
+    assert(Jobs.jsonStr("""a"b\c""") == """a\"b\\c""")
+    assert(Jobs.jsonStr("a\nb\tc") == "a\\u000ab\\u0009c")
+
+    // end-to-end: a tier carrying a quote (legal in a linux directory name;
+    // backslash is covered by the unit pins above — hadoop's path glob
+    // treats it as an escape, so it can't name a store tier at all) plus a
+    // hostile cutoff must emit parseable step lines — runAll/cron consume
+    // this channel, so one bad value must not corrupt it
+    val base = Files.createTempDirectory("graft_maint_json").toString
+    val tier = """we"ird tier"""
+    new TableStore(base, s"tier_$tier").write(df("2024-03-01" -> 2), "day", "in-1")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    Maintain.run(spark, base, tier, ttlCutoff = Some("2023-01-01\"x"), report = lines += _)
+    assert(lines.nonEmpty, "expected step-report lines")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    for (line <- lines) {
+      val node = mapper.readTree(line) // throws on malformed JSON
+      assert(node.get("tier").asText() == tier, s"tier must round-trip through the escape: $line")
+    }
+    assert(lines.exists(l => mapper.readTree(l).path("cutoff").asText() == "2023-01-01\"x"),
+      s"cutoff must round-trip: $lines")
+  }
 }
