@@ -867,9 +867,19 @@ final class TableStore(
     val stage = Paths.get(s"$base/$table/.stage-$provisionalId-${java.util.UUID.randomUUID}")
     val moved =
       try {
-        spark.read
+        val read0 = spark.read
           .option("basePath", dataDir)
           .parquet(entryPaths(entry): _*)
+        // compacting the NULL partition alone: every value in the read is
+        // null, so partition-type inference yields VOID, which partitionBy
+        // refuses to write (INVALID_PARTITION_COLUMN_DATA_TYPE) — re-type to
+        // string; the dir name (__HIVE_DEFAULT_PARTITION__) and the content
+        // hash (null hashes to the seed under any type) are type-independent
+        val readDf =
+          if (read0.schema(partitionCol).dataType == org.apache.spark.sql.types.NullType)
+            read0.withColumn(partitionCol, col(partitionCol).cast("string"))
+          else read0
+        readDf
           .coalesce(targetFiles)
           .write
           .partitionBy(partitionCol)

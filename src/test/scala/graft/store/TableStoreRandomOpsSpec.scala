@@ -1,0 +1,158 @@
+package graft.store
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+
+/** Seeded model-based fuzz of the TableStore state machine: each seed runs a
+  * random sequence of the ops production performs over a table's lifetime —
+  * overwrite writes, partial (onlyPartitions) rewrites, streaming-shaped
+  * appends, small-file compaction, TTL demotion, snapshot expiry — against a
+  * driver-side model (per-partition value multisets), asserting after EVERY
+  * op that the manifest (partition set + row counts), the current read-back
+  * (per-partition count and sum), and retained time-travel snapshots all
+  * equal the model. The curated [[TableStoreSpec]] pins each mechanism in
+  * isolation (incl. concurrency races); this sweeps their INTERLEAVINGS —
+  * the compaction-after-append-after-TTL orderings nobody curates. The
+  * null-day partition (__HIVE_DEFAULT_PARTITION__) participates like any
+  * other key.
+  */
+class TableStoreRandomOpsSpec extends SparkTestBase {
+
+  /** sweep width: 3 by default (each seed is a full op sequence with a
+    * read-back check per op); widen via `-Dgraft.randFixtures=25`
+    */
+  private val N = sys.props.getOrElse("graft.randFixtures", "3").toInt
+
+  private val NullKey = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+  private val DayPool = (1 to 6).map(d => f"2024-01-$d%02d") :+ NullKey
+
+  private def mkDf(rows: Seq[(String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows
+      .map { case (day, v) => (if (day == NullKey) Option.empty[String] else Some(day), v) }
+      .toDF("day", "v")
+  }
+
+  for (seed <- 0 until N) {
+    test(s"seed $seed: random write/append/compact/ttl/expire sequence preserves the model at every step") {
+      val rnd = new scala.util.Random(0x57AB1E + seed * 104729)
+      val base = java.nio.file.Files.createTempDirectory("graft_store_fuzz").toString
+      val store = new TableStore(base, "t")
+
+      // model: partition -> multiset of v values currently CURRENT
+      val model = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      // committed history for time-travel checks: snapshotId -> model copy
+      val history = scala.collection.mutable.Map.empty[Long, Map[String, Vector[Long]]]
+      val lineageIds = scala.collection.mutable.ArrayBuffer.empty[String]
+      var lastSnapshotId = -1L
+      var nextV = 0L
+
+      def freshValues(n: Int): Vector[Long] = Vector.fill(n) { nextV += 1; nextV }
+      def pickDays(n: Int): Seq[String] = rnd.shuffle(DayPool).take(n)
+
+      // call AFTER applying the op to the model: the history entry is the
+      // state that snapshot committed
+      def recordCommit(s: Snapshot): Unit = {
+        assert(s.snapshotId > lastSnapshotId, s"snapshot ids must increase: ${s.snapshotId} after $lastSnapshotId")
+        lastSnapshotId = s.snapshotId
+        history(s.snapshotId) = model.view.mapValues(identity).toMap
+      }
+
+      def readBack(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+        df.groupBy(col("day").cast("string").as("d"))
+          .agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .collect()
+          .map(r => (Option(r.getString(0)).getOrElse(NullKey), (r.getLong(1), r.getLong(2))))
+          .toMap
+
+      def expected(m: Map[String, Vector[Long]]): Map[String, (Long, Long)] =
+        m.map { case (k, vs) => k -> ((vs.size.toLong, vs.sum)) }
+
+      // seed the table with an initial write: maintenance-style first ops
+      // (expire/compact/ttl) against a NEVER-written store either no-op or
+      // read a nonexistent dataDir, which is a documented loud error (a
+      // typo'd storeBase must not read as an empty table), not fuzz target
+      {
+        val days = pickDays(1 + rnd.nextInt(2))
+        val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(5)).map(d -> _))
+        val snap = store.write(mkDf(rows), "day", s"seed-$seed")
+        lineageIds += s"seed-$seed"
+        days.foreach(d => model(d) = rows.filter(_._1 == d).map(_._2).toVector)
+        recordCommit(snap)
+      }
+
+      def check(opDesc: String): Unit = {
+        val parts = store.currentSnapshot.map(_.partitions).getOrElse(Seq.empty)
+        assert(parts.map(_.partition).toSet == model.keySet,
+          s"seed $seed after $opDesc: manifest partitions ${parts.map(_.partition).sorted} != model ${model.keys.toSeq.sorted}")
+        for (p <- parts)
+          assert(p.rows == model(p.partition).size,
+            s"seed $seed after $opDesc: manifest rows for ${p.partition} = ${p.rows}, model ${model(p.partition).size}")
+        val back = readBack(store.read(spark))
+        assert(back == expected(model.toMap), s"seed $seed after $opDesc: read-back $back != model ${expected(model.toMap)}")
+      }
+
+      for (k <- 0 until 12) {
+        val lineage = s"op-$seed-$k"
+        rnd.nextInt(100) match {
+          case r if r < 25 => // overwrite write of 1-3 partitions
+            val days = pickDays(1 + rnd.nextInt(3))
+            val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(8)).map(d -> _))
+            val snap = store.write(mkDf(rnd.shuffle(rows)), "day", lineage)
+            lineageIds += lineage
+            days.foreach(d => model(d) = rows.filter(_._1 == d).map(_._2).toVector)
+            recordCommit(snap)
+            check(s"op$k overwrite($days)")
+          case r if r < 45 => // partial rewrite: df spans days, commit filters to a subset
+            val days = pickDays(2 + rnd.nextInt(2))
+            val subset = rnd.shuffle(days).take(1 + rnd.nextInt(days.size)).toSet
+            val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(6)).map(d -> _))
+            val snap = store.write(mkDf(rnd.shuffle(rows)), "day", lineage, onlyPartitions = Some(subset))
+            lineageIds += lineage
+            subset.foreach(d => model(d) = rows.filter(_._1 == d).map(_._2).toVector)
+            recordCommit(snap)
+            check(s"op$k partialRewrite($subset of $days)")
+          case r if r < 70 => // streaming-shaped append to 1-2 partitions
+            val days = pickDays(1 + rnd.nextInt(2))
+            val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(5)).map(d -> _))
+            val snap = store.write(mkDf(rnd.shuffle(rows)), "day", lineage, append = true)
+            lineageIds += lineage
+            days.foreach(d => model(d) = model.getOrElse(d, Vector.empty) ++ rows.filter(_._1 == d).map(_._2))
+            recordCommit(snap)
+            check(s"op$k append($days)")
+          case r if r < 80 => // compact a fragmented partition (content-identical)
+            model.keys.find(store.partitionFileCount("day", _) > 1) match {
+              case Some(day) =>
+                recordCommit(store.compactPartition(spark, "day", day))
+                assert(store.partitionFileCount("day", day) == 1, s"seed $seed op$k: compaction left >1 file")
+                check(s"op$k compact($day)")
+              case None => () // nothing fragmented — no-op step
+            }
+          case r if r < 90 => // TTL demotion at a random cutoff (string >=, like production)
+            val cutoff = DayPool(rnd.nextInt(DayPool.size - 1)) // real days only
+            val snap = store.dropPartitionsOlderThan(spark, "day", cutoff, lineage)
+            lineageIds += lineage
+            model.keys.toSeq.filter(_ < cutoff).foreach(model.remove)
+            recordCommit(snap)
+            check(s"op$k ttl($cutoff)")
+          case _ => // snapshot expiry: current content must be untouched
+            val keep = 1 + rnd.nextInt(3)
+            store.expireSnapshots(keepLast = keep)
+            check(s"op$k expire(keepLast=$keep)")
+        }
+      }
+
+      // retained snapshots time-travel to exactly the model they committed
+      val retained = store.snapshots.map(_.snapshotId)
+      assert(retained == retained.sorted && retained.distinct == retained, s"snapshot ids must be ordered unique: $retained")
+      for (id <- retained if history.contains(id)) {
+        val back = readBack(store.read(spark, id))
+        assert(back == expected(history(id)), s"seed $seed: time travel to $id diverged: $back != ${expected(history(id))}")
+      }
+      // every committed lineage id stays queryable (replay guard, across ledger compaction)
+      for (l <- lineageIds) assert(store.hasCommit(l), s"seed $seed: lineage $l lost")
+    }
+  }
+}

@@ -606,6 +606,28 @@ class TableStoreSpec extends SparkTestBase {
     assert(back == 12.0, s"all rows of both partitions must read back, got $back")
   }
 
+  test("the NULL partition compacts (found by the store fuzz: only-null partition-type inference is VOID)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    val nullKey = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    def batch(v: Double) = Seq((Option.empty[String], v), (Option.empty[String], v + 1)).toDF("day", "value")
+    store.write(batch(0), "day", "in-0")
+    for (i <- 1 to 3) store.write(batch(i * 10.0), "day", s"in-$i", append = true)
+    assert(store.partitionFileCount("day", nullKey) >= 4, "need a fragmented null partition")
+    val before = store.currentSnapshot.get.partitions.find(_.partition == nullKey).get
+    // pre-fix: partition-type inference over only-null dir values yields
+    // VOID and the partitionBy rewrite threw INVALID_PARTITION_COLUMN_DATA_TYPE
+    // — Maintain.run would crash compacting a fragmented null-day partition
+    val snap = store.compactPartition(spark, "day", nullKey)
+    val after = snap.partitions.find(_.partition == nullKey).get
+    assert(store.partitionFileCount("day", nullKey) == 1)
+    assert(after.rows == before.rows && after.contentHash == before.contentHash,
+      "null-partition compaction must be content-identical (rows + hash)")
+    assert(store.read(spark).agg(sum("value")).head.getDouble(0) == 0 + 1 + 10 + 11 + 20 + 21 + 30 + 31)
+  }
+
   test("expireSnapshots minSnapshotAgeMs: young snapshots survive beyond keepLast (reader grace)") {
     val base = tmp()
     val store = new TableStore(base, "t")
