@@ -68,6 +68,32 @@ class Mp4CodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp4Codec.parseMeta(audioOnly))
   }
 
+  test("short leaf boxes reject with IllegalArgumentException, never ArrayIndexOutOfBounds") {
+    // hand-craft containers whose leaf box size is VALID for the container
+    // walk but too short for the fields the leaf reads — pre-guard these
+    // crashed with AIOOBE instead of the loud-reject contract's IAE
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def rawBox(typ: String, payload: Array[Byte]) = be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = rawBox("ftyp", "isom".getBytes("US-ASCII"))
+    for (leaf <- Seq("mvhd", "tkhd", "hdlr", "stsz")) {
+      val shortLeaf = if (leaf == "mvhd" || leaf == "tkhd") rawBox(leaf, Array.emptyByteArray)
+        else rawBox(leaf, new Array[Byte](8))
+      val container = leaf match {
+        case "mvhd" => ftyp ++ rawBox("moov", shortLeaf)
+        case "tkhd" => ftyp ++ rawBox("moov", rawBox("trak", shortLeaf))
+        case _      => ftyp ++ rawBox("moov", rawBox("trak", rawBox("mdia", shortLeaf)))
+      }
+      val e = intercept[IllegalArgumentException](Mp4Codec.parseMeta(container))
+      assert(e.getMessage.contains("too short") || e.getMessage.contains("without"),
+        s"$leaf: expected the short-box reject, got: ${e.getMessage}")
+    }
+    // v1 flags with a v0-sized payload: the wider v1 fields must be guarded too
+    val v1ShortMvhd = rawBox("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16))
+    intercept[IllegalArgumentException](Mp4Codec.parseMeta(ftyp ++ rawBox("moov", v1ShortMvhd)))
+    val v1ShortTkhd = rawBox("tkhd", Array[Byte](1, 0, 0, 7) ++ new Array[Byte](80))
+    intercept[IllegalArgumentException](Mp4Codec.parseMeta(ftyp ++ rawBox("moov", rawBox("trak", v1ShortTkhd))))
+  }
+
   test("extractMetadata: live byte parse equals the declared corpus metadata for EVERY modality") {
     val docs = MediaOps.syntheticMedia(spark, 60)
     val declared = docs.collect().map(d => d.doc_id -> ((d.mime, d.width, d.height, d.duration_ms))).toMap
