@@ -39,10 +39,13 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
     test(s"seed $seed: random write/append/compact/ttl/expire sequence preserves the model at every step") {
       val rnd = new scala.util.Random(0x57AB1E + seed * 104729)
       val base = java.nio.file.Files.createTempDirectory("graft_store_fuzz").toString
-      val store = new TableStore(base, "t")
+      // tier_-prefixed so a Maintain.run cycle can ride the same table
+      val store = new TableStore(base, "tier_fz")
 
       // model: partition -> multiset of v values currently CURRENT
       val model = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      // model: streamId -> last watermark batch id set
+      val wmModel = scala.collection.mutable.Map.empty[String, Long]
       // committed history for time-travel checks: snapshotId -> model copy
       val history = scala.collection.mutable.Map.empty[Long, Map[String, Vector[Long]]]
       val lineageIds = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -114,14 +117,41 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
             subset.foreach(d => model(d) = rows.filter(_._1 == d).map(_._2).toVector)
             recordCommit(snap)
             check(s"op$k partialRewrite($subset of $days)")
-          case r if r < 70 => // streaming-shaped append to 1-2 partitions
+          case r if r < 64 => // streaming-shaped append to 1-2 partitions
+            // half the appends carry a stream-<id>-batch-<n> lineage so the
+            // watermark GC's liveness rule has real stream history to consult
+            val streamed = rnd.nextBoolean()
+            val lin = if (streamed) s"stream-fz${rnd.nextInt(3)}-batch-$k" else lineage
             val days = pickDays(1 + rnd.nextInt(2))
             val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(5)).map(d -> _))
-            val snap = store.write(mkDf(rnd.shuffle(rows)), "day", lineage, append = true)
-            lineageIds += lineage
+            val snap = store.write(mkDf(rnd.shuffle(rows)), "day", lin, append = true)
+            lineageIds += lin
             days.foreach(d => model(d) = model.getOrElse(d, Vector.empty) ++ rows.filter(_._1 == d).map(_._2))
             recordCommit(snap)
-            check(s"op$k append($days)")
+            check(s"op$k append($days, lineage=$lin)")
+          case r if r < 70 => // watermark set + round-trip, or a stale-sweep GC
+            if (rnd.nextBoolean() || wmModel.isEmpty) {
+              val sid = s"fz${rnd.nextInt(3)}"
+              store.setStreamWatermark(sid, k.toLong)
+              wmModel(sid) = k.toLong
+              assert(store.streamWatermark(sid).contains(k.toLong), s"seed $seed op$k: watermark $sid round-trip")
+            } else {
+              // maxAge -10ms => every non-live watermark is stale RIGHT NOW;
+              // live = a RETAINED snapshot carries stream-<sid>-batch-<n>
+              val live = store.snapshots.map(_.inputSnapshot).collect {
+                case l if l.startsWith("stream-") && l.contains("-batch-") =>
+                  l.stripPrefix("stream-").substring(0, l.stripPrefix("stream-").lastIndexOf("-batch-"))
+              }.toSet
+              store.gcStreamWatermarks(maxAgeMs = -10L)
+              for ((sid, v) <- wmModel.toSeq) {
+                if (live(sid))
+                  assert(store.streamWatermark(sid).contains(v), s"seed $seed op$k: live watermark $sid swept")
+                else {
+                  assert(store.streamWatermark(sid).isEmpty, s"seed $seed op$k: dead watermark $sid survived a 0-age GC")
+                  wmModel.remove(sid)
+                }
+              }
+            }
           case r if r < 80 => // compact a fragmented partition (content-identical)
             model.keys.find(store.partitionFileCount("day", _) > 1) match {
               case Some(day) =>
@@ -137,10 +167,19 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
             model.keys.toSeq.filter(_ < cutoff).foreach(model.remove)
             recordCommit(snap)
             check(s"op$k ttl($cutoff)")
-          case _ => // snapshot expiry: current content must be untouched
+          case r if r < 95 => // snapshot expiry: current content must be untouched
             val keep = 1 + rnd.nextInt(3)
             store.expireSnapshots(keepLast = keep)
             check(s"op$k expire(keepLast=$keep)")
+          case _ => // a full Maintain cycle (ttl + compact + expire + wm GC at default age)
+            val cutoff = DayPool(rnd.nextInt(DayPool.size - 1))
+            graft.jobs.Maintain.run(spark, base, "fz", maxFiles = 2, keepSnapshots = 2, ttlCutoff = Some(cutoff))
+            model.keys.toSeq.filter(_ < cutoff).foreach(model.remove)
+            lastSnapshotId = store.currentSnapshot.map(_.snapshotId).getOrElse(lastSnapshotId)
+            // fresh watermarks survive the default-age GC inside the cycle
+            for ((sid, v) <- wmModel)
+              assert(store.streamWatermark(sid).contains(v), s"seed $seed op$k: maintain swept fresh watermark $sid")
+            check(s"op$k maintain(cutoff=$cutoff)")
         }
       }
 
