@@ -164,10 +164,17 @@ object MediaOps {
           val ms = math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate).toInt
           MediaMeta(d.doc_id, d.mime, 0, 0, ms)
         } else if (isAviMime(d.mime)) {
-          val avi = VideoCodec.decode(d.media)
+          // decodeMeta: same container walk, frame PAYLOADS not copied —
+          // metadata needs only count/dims/fps, not a second movi in memory
+          val avi = VideoCodec.decodeMeta(d.media)
           MediaMeta(d.doc_id, d.mime, avi.width, avi.height, math.round(avi.frames.size * 1000.0 / avi.fps).toInt)
         } else if (Mp4Codec.isMp4(d.media)) {
           val m = Mp4Codec.parseMeta(d.media)
+          // reject a duration an Int can't carry instead of wrapping it into
+          // plausible garbage (0xFFFFFFFF mvhd duration = the ISO 'unknown'
+          // sentinel at timescale 600 is ~7e9 ms) — silent wrong metadata is
+          // the failure mode this path exists to avoid
+          require(m.durationMs <= Int.MaxValue, s"doc ${d.doc_id}: MP4 duration ${m.durationMs}ms overflows Int")
           MediaMeta(d.doc_id, d.mime, m.width, m.height, m.durationMs.toInt)
         } else
           throw new IllegalArgumentException(s"doc ${d.doc_id}: no metadata parser for mime '${d.mime}'")

@@ -55,7 +55,10 @@ object Mp4Codec {
     var trakIsVideo = false
     var trakSamples = 0L
 
-    def walk(from: Long, until: Long): Unit = {
+    def walk(from: Long, until: Long, depth: Int): Unit = {
+      // a crafted file can nest container boxes arbitrarily deep — bound the
+      // recursion so the reject is the contract's IAE, never StackOverflowError
+      require(depth <= 32, s"MP4 box nesting deeper than 32 levels")
       var p = from
       while (p + 8 <= until) {
         val size32 = u32(bytes, p.toInt)
@@ -64,13 +67,15 @@ object Mp4Codec {
           if (size32 == 1L) { require(p + 16 <= until, s"truncated largesize box '$typ'"); (u64(bytes, p.toInt + 8), p + 16) }
           else if (size32 == 0L) (until - p, p + 8) // box extends to the end of its container
           else (size32, p + 8)
-        require(boxSize >= body - p && p + boxSize <= until, s"truncated MP4 box '$typ' at $p")
+        // overflow-safe form: a hostile 64-bit largesize near Long.MaxValue
+        // would wrap `p + boxSize` negative and sail past the naive check
+        require(boxSize >= body - p && boxSize <= until - p, s"truncated MP4 box '$typ' at $p")
         val end = p + boxSize
         typ match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(body, end)
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, end, depth + 1)
           case "trak" =>
             trakW = 0; trakH = 0; trakIsVideo = false; trakSamples = 0L
-            walk(body, end)
+            walk(body, end, depth + 1)
             if (trakIsVideo && vW == 0 && vH == 0) { vW = trakW; vH = trakH; vSamples = trakSamples }
           // every leaf guards its own minimum payload: the box-size require
           // above only proves the DECLARED size fits the container, not that
@@ -108,7 +113,7 @@ object Mp4Codec {
         p = end
       }
     }
-    walk(0L, bytes.length.toLong)
+    walk(0L, bytes.length.toLong, 0)
     require(timescale > 0, "MP4 without a moov/mvhd timescale")
     require(duration >= 0, "MP4 without a moov/mvhd duration")
     require(vW > 0 && vH > 0, "MP4 without a video ('vide' handler) trak carrying tkhd dimensions")
@@ -130,7 +135,8 @@ object Mp4Codec {
         if (size32 == 1L && p + 16 <= until) (u64(bytes, p.toInt + 8), p + 16)
         else if (size32 == 0L) (until - p, p + 8)
         else (size32, p + 8)
-      if (boxSize < body - p || p + boxSize > until) return None // corrupt: caller falls back to whole bytes
+      // overflow-safe (see parseMeta): corrupt → caller falls back to whole bytes
+      if (boxSize < body - p || boxSize > until - p) return None
       if (typ == "mdat") return Some(java.util.Arrays.copyOfRange(bytes, body.toInt, (p + boxSize).toInt))
       p += boxSize
     }

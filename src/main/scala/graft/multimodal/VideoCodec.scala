@@ -63,7 +63,19 @@ object VideoCodec {
     * MJPEG (strh handler or strf biCompression spelling it) nor
     * uncompressed 24/32-bit BI_RGB throws.
     */
-  def decode(bytes: Array[Byte]): Avi = {
+  def decode(bytes: Array[Byte]): Avi = decode(bytes, keepFramePayloads = true)
+
+  /** metadata-only parse: identical container walk, but frame payloads are
+    * NOT copied out of the buffer (each frame is the shared empty array, so
+    * `frames.size`/width/height/fps stay exact) — the metadata path reads a
+    * large AVI without duplicating its whole movi payload in memory. The
+    * result must not feed features/resize/frameImage.
+    */
+  private[multimodal] def decodeMeta(bytes: Array[Byte]): Avi = decode(bytes, keepFramePayloads = false)
+
+  private val EmptyFrame = Array.emptyByteArray
+
+  private def decode(bytes: Array[Byte], keepFramePayloads: Boolean): Avi = {
     require(isAvi(bytes), "not an AVI (RIFF/'AVI ' header missing)")
     var width = 0
     var height = 0
@@ -85,8 +97,11 @@ object VideoCodec {
     var frameIdDb = ""
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
-    // walk one chunk run [from, until); LISTs recurse into their payload
-    def walk(from: Int, until: Int): Unit = {
+    // walk one chunk run [from, until); LISTs recurse into their payload.
+    // Depth-bounded: crafted nesting must reject with the contract's IAE,
+    // never StackOverflowError
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      require(depth <= 32, "AVI LIST nesting deeper than 32 levels")
       var p = from
       while (p + 8 <= until) {
         val id = fourcc(bytes, p)
@@ -94,7 +109,7 @@ object VideoCodec {
         val body = p + 8
         require(body.toLong + size <= until, s"truncated AVI chunk '$id' at $p")
         id match {
-          case "LIST" if size >= 4 => walk(body + 4, body + size.toInt) // skip the list type fourcc
+          case "LIST" if size >= 4 => walk(body + 4, body + size.toInt, depth + 1) // skip the list type fourcc
           case "avih" =>
             require(size >= 40, s"avih chunk too short ($size bytes)")
             val mspf = u32(bytes, body) // dwMicroSecPerFrame
@@ -123,7 +138,7 @@ object VideoCodec {
             bitCount = ((bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8))
             compression = Some(u32(bytes, body + 16))
           case fid if videoStream >= 0 && (fid == frameIdDc || fid == frameIdDb) =>
-            frames += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+            frames += (if (keepFramePayloads) java.util.Arrays.copyOfRange(bytes, body, body + size.toInt) else EmptyFrame)
           case _ => () // idx1, JUNK, other streams' chunks
         }
         p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
@@ -136,7 +151,7 @@ object VideoCodec {
     // (that is the padding contract, and a frame-less result fails loud in
     // features()/sampleFrames, never silently).
     val declaredEnd = 8L + u32(bytes, 4)
-    walk(12, if (declaredEnd < 20) bytes.length else math.min(bytes.length.toLong, declaredEnd).toInt)
+    walk(12, if (declaredEnd < 20) bytes.length else math.min(bytes.length.toLong, declaredEnd).toInt, 0)
     require(width > 0 && height > 0, "AVI without avih dimensions")
     require(fps > 0, "AVI without a frame rate")
     def fourccOf(v: Long): String = new String(Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte), "ISO-8859-1")

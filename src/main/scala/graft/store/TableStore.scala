@@ -243,10 +243,10 @@ final class TableStore(
           if (ageMs >= maintenanceLockTtlMs) stealStaleLock(observedBody.get)
       }
     }
-    currentLeaseBody = Some(body)
+    currentLeaseBody.set(Some(body))
     try f
     finally {
-      currentLeaseBody = None
+      currentLeaseBody.set(None)
       // content-checked delete: never remove a superseder's lease. The
       // read→delete gap is microseconds and only reachable after a TTL
       // overrun (see caveat above).
@@ -255,10 +255,17 @@ final class TableStore(
     }
   }
 
-  // the lease instance this thread holds while inside withMaintenanceLock;
-  // at most one holder exists per lock FILE (CREATE_NEW CAS), so a plain
-  // volatile is enough for the spec-visibility it needs
-  @volatile private var currentLeaseBody: Option[String] = None
+  // the lease body THIS THREAD holds while inside withMaintenanceLock.
+  // ThreadLocal, not an instance field: after a TTL overrun a second thread
+  // of the SAME instance can steal and re-acquire — an instance-level field
+  // would then carry the NEW holder's body, so the paused zombie's
+  // assertLeaseHeld would compare the new body against the new lock file,
+  // pass, and proceed to write over the live holder's state (defeating the
+  // fencing), while the new holder would later read the zombie's None and
+  // crash with the wrong exception. Per-thread state keeps each holder
+  // comparing its OWN lease body against the file.
+  private val currentLeaseBody: ThreadLocal[Option[String]] =
+    ThreadLocal.withInitial(() => None)
 
   /** Test seam: runs at the top of every `assertLeaseHeld`, BEFORE the
     * re-read — a spec installs a hook that steals/replaces the lock file
@@ -277,7 +284,7 @@ final class TableStore(
     */
   private def assertLeaseHeld(what: String): Unit = {
     leaseCheckHook(what)
-    val body = currentLeaseBody.getOrElse(
+    val body = currentLeaseBody.get().getOrElse(
       throw new IllegalStateException(s"$what attempted outside a leased section — caller must hold the maintenance lease")
     )
     val stillOurs =

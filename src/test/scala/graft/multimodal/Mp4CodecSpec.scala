@@ -94,6 +94,49 @@ class Mp4CodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp4Codec.parseMeta(ftyp ++ rawBox("moov", rawBox("trak", v1ShortTkhd))))
   }
 
+  test("hostile containers reject with IAE: largesize overflow, deep nesting (MP4 and AVI)") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def rawBox(typ: String, payload: Array[Byte]) = be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = rawBox("ftyp", "isom".getBytes("US-ASCII"))
+
+    // 64-bit largesize near Long.MaxValue: p + boxSize wraps negative — the
+    // naive bound check passed and the walker read from arbitrary offsets
+    val be64max = Array[Byte](0x7f, -1, -1, -1, -1, -1, -1, -1)
+    val overflow = ftyp ++ (be32(1) ++ "moov".getBytes("US-ASCII") ++ be64max) ++ new Array[Byte](64)
+    intercept[IllegalArgumentException](Mp4Codec.parseMeta(overflow))
+    assert(Mp4Codec.mdatPayload(overflow).isEmpty, "corrupt largesize must fall back to None, not walk wrapped offsets")
+
+    // nesting bomb: 40 levels of container boxes must reject (depth gate),
+    // never StackOverflowError
+    val nestedMp4 = ftyp ++ (0 until 40).foldLeft(Array.emptyByteArray)((inner, _) => rawBox("moov", inner))
+    val e = intercept[IllegalArgumentException](Mp4Codec.parseMeta(nestedMp4))
+    assert(e.getMessage.contains("nesting"), e.getMessage)
+
+    def aviList(payload: Array[Byte]) = {
+      val size = 4 + payload.length
+      "LIST".getBytes("US-ASCII") ++
+        Array[Byte](size.toByte, (size >> 8).toByte, (size >> 16).toByte, (size >> 24).toByte) ++
+        "hdrl".getBytes("US-ASCII") ++ payload
+    }
+    val nestedLists = (0 until 40).foldLeft(Array.emptyByteArray)((inner, _) => aviList(inner))
+    val riffSize = 4 + nestedLists.length
+    val nestedAvi = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](riffSize.toByte, (riffSize >> 8).toByte, (riffSize >> 16).toByte, (riffSize >> 24).toByte) ++
+      "AVI ".getBytes("US-ASCII") ++ nestedLists
+    val e2 = intercept[IllegalArgumentException](VideoCodec.decode(nestedAvi))
+    assert(e2.getMessage.contains("nesting"), e2.getMessage)
+  }
+
+  test("decodeMeta parses identical metadata without copying frame payloads") {
+    val bytes = VideoCodec.syntheticAvi(seed = 9, w = 8, h = 8, nFrames = 4, fps = 2, mjpeg = false)
+    val full = VideoCodec.decode(bytes)
+    val meta = VideoCodec.decodeMeta(bytes)
+    assert((meta.width, meta.height, meta.fps, meta.mjpeg, meta.frames.size)
+      == ((full.width, full.height, full.fps, full.mjpeg, full.frames.size)))
+    assert(meta.frames.forall(_.isEmpty), "decodeMeta must not carry payloads")
+    assert(full.frames.forall(_.nonEmpty), "full decode must")
+  }
+
   test("extractMetadata: live byte parse equals the declared corpus metadata for EVERY modality") {
     val docs = MediaOps.syntheticMedia(spark, 60)
     val declared = docs.collect().map(d => d.doc_id -> ((d.mime, d.width, d.height, d.duration_ms))).toMap

@@ -506,6 +506,48 @@ class TableStoreSpec extends SparkTestBase {
     assert(!Files.exists(wm))
   }
 
+  test("same-instance cross-thread steal: the zombie compares ITS OWN lease body, not the new holder's") {
+    // the lease body is ThreadLocal: with an instance-level field, thread B's
+    // steal+re-acquire on the SAME TableStore instance would overwrite the
+    // paused thread A's view, so A's re-verify would compare B's body against
+    // B's lock file, PASS, and write over B's live state — and B would later
+    // crash on A's cleanup with the wrong exception
+    val base = tmp()
+    val store = new TableStore(base, "tier_tl")
+    store.write(df("2024-01-01" -> 2), "day", "stream-tl-batch-0", append = true)
+    store.write(df("2024-01-01" -> 1), "day", "stream-tl-batch-1", append = true)
+    val mdir = Paths.get(s"$base/tier_tl/_manifests")
+    val lock = mdir.resolve("maintenance.lock")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var bFailure: Option[Throwable] = None
+    store.leaseCheckHook = _ =>
+      if (fired.compareAndSet(false, true)) {
+        // thread A (the future zombie) is paused here pre-mutation; thread B
+        // on the SAME instance observes A's lease as TTL-stale, steals it,
+        // runs a full maintenance op, and releases — all before A resumes
+        val b = new Thread(() =>
+          try {
+            Files.setLastModifiedTime(
+              lock,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis() - TableStore.DefaultMaintenanceLockTtlMs - 60000L
+              )
+            )
+            store.expireSnapshots(keepLast = 5) // keeps everything; just exercises the lease
+          } catch { case t: Throwable => bFailure = Some(t) }
+        )
+        b.start()
+        b.join(60000)
+      }
+    try {
+      // A must abort with MaintenanceLockHeld (its OWN body no longer on the
+      // file), never IllegalStateException (the instance-field failure mode)
+      intercept[MaintenanceLockHeld](store.expireSnapshots(keepLast = 1))
+    } finally store.leaseCheckHook = _ => ()
+    assert(bFailure.isEmpty, s"the stealing thread must complete cleanly: $bFailure")
+    assert(store.snapshots.size == 2, "the displaced zombie must not have expired anything")
+  }
+
   test("stale-lock steal: confirmed body is removed; a changed lease is RESTORED, never destroyed") {
     val base = tmp()
     val store = new TableStore(base, "tier_x")
