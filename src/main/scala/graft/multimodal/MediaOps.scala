@@ -154,6 +154,15 @@ object MediaOps {
   def extractMetadata(media: Dataset[MediaDoc]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // EVERY modality's ms conversion goes through one guard: a duration an
+    // Int can't carry (hostile WAV frame counts, an avih dwMicroSecPerFrame
+    // near 2^32 giving fps ≈ 2e-4, the MP4 'unknown duration' sentinel)
+    // must reject loudly, never .toInt-wrap into plausible garbage — silent
+    // wrong metadata is the failure mode this path exists to avoid
+    def intMs(docId: Long, v: Long): Int = {
+      require(v >= 0 && v <= Int.MaxValue, s"doc $docId: duration ${v}ms outside Int range")
+      v.toInt
+    }
     media.mapPartitions { batch =>
       batch.map { d =>
         if (d.mime.startsWith("image/")) {
@@ -161,21 +170,16 @@ object MediaOps {
           MediaMeta(d.doc_id, d.mime, img.getWidth, img.getHeight, 0)
         } else if (d.mime.startsWith("audio/")) {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(d.media))
-          val ms = math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate).toInt
+          val ms = intMs(d.doc_id, math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate))
           MediaMeta(d.doc_id, d.mime, 0, 0, ms)
         } else if (isAviMime(d.mime)) {
           // decodeMeta: same container walk, frame PAYLOADS not copied —
           // metadata needs only count/dims/fps, not a second movi in memory
           val avi = VideoCodec.decodeMeta(d.media)
-          MediaMeta(d.doc_id, d.mime, avi.width, avi.height, math.round(avi.frames.size * 1000.0 / avi.fps).toInt)
+          MediaMeta(d.doc_id, d.mime, avi.width, avi.height, intMs(d.doc_id, math.round(avi.frames.size * 1000.0 / avi.fps)))
         } else if (Mp4Codec.isMp4(d.media)) {
           val m = Mp4Codec.parseMeta(d.media)
-          // reject a duration an Int can't carry instead of wrapping it into
-          // plausible garbage (0xFFFFFFFF mvhd duration = the ISO 'unknown'
-          // sentinel at timescale 600 is ~7e9 ms) — silent wrong metadata is
-          // the failure mode this path exists to avoid
-          require(m.durationMs <= Int.MaxValue, s"doc ${d.doc_id}: MP4 duration ${m.durationMs}ms overflows Int")
-          MediaMeta(d.doc_id, d.mime, m.width, m.height, m.durationMs.toInt)
+          MediaMeta(d.doc_id, d.mime, m.width, m.height, intMs(d.doc_id, m.durationMs))
         } else
           throw new IllegalArgumentException(s"doc ${d.doc_id}: no metadata parser for mime '${d.mime}'")
       }

@@ -116,6 +116,10 @@ object Mp4Codec {
     walk(0L, bytes.length.toLong, 0)
     require(timescale > 0, "MP4 without a moov/mvhd timescale")
     require(duration >= 0, "MP4 without a moov/mvhd duration")
+    // the ms conversion multiplies by 1000 BEFORE dividing — a hostile v1
+    // 64-bit duration would wrap the Long product into plausible garbage
+    // (0x4000000000000000 * 1000 ≡ 0 mod 2^64); reject loudly instead
+    require(duration <= Long.MaxValue / 1000, s"MP4 duration $duration overflows the ms conversion")
     require(vW > 0 && vH > 0, "MP4 without a video ('vide' handler) trak carrying tkhd dimensions")
     Mp4Meta(vW, vH, duration * 1000L / timescale, timescale, vSamples)
   }

@@ -10,6 +10,10 @@ import graft.spark.SparkTestBase
   */
 class Mp4CodecSpec extends SparkTestBase {
 
+  // shared hand-crafted-box helpers for the hostile-container tests
+  private def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def rawBox(typ: String, payload: Array[Byte]) = be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
   test("parseMeta: v0 boxes — timescale-1000 duration, 16.16 tkhd dims, stsz count") {
     val b = Mp4Codec.syntheticMp4(seed = 7, w = 48, h = 16, durationMs = 12000L, nSamples = 24L)
     assert(Mp4Codec.isMp4(b))
@@ -72,8 +76,6 @@ class Mp4CodecSpec extends SparkTestBase {
     // hand-craft containers whose leaf box size is VALID for the container
     // walk but too short for the fields the leaf reads — pre-guard these
     // crashed with AIOOBE instead of the loud-reject contract's IAE
-    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
-    def rawBox(typ: String, payload: Array[Byte]) = be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
     val ftyp = rawBox("ftyp", "isom".getBytes("US-ASCII"))
     for (leaf <- Seq("mvhd", "tkhd", "hdlr", "stsz")) {
       val shortLeaf = if (leaf == "mvhd" || leaf == "tkhd") rawBox(leaf, Array.emptyByteArray)
@@ -94,9 +96,7 @@ class Mp4CodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp4Codec.parseMeta(ftyp ++ rawBox("moov", rawBox("trak", v1ShortTkhd))))
   }
 
-  test("hostile containers reject with IAE: largesize overflow, deep nesting (MP4 and AVI)") {
-    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
-    def rawBox(typ: String, payload: Array[Byte]) = be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+  test("hostile containers reject with IAE: largesize overflow, deep nesting") {
     val ftyp = rawBox("ftyp", "isom".getBytes("US-ASCII"))
 
     // 64-bit largesize near Long.MaxValue: p + boxSize wraps negative — the
@@ -112,29 +112,12 @@ class Mp4CodecSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Mp4Codec.parseMeta(nestedMp4))
     assert(e.getMessage.contains("nesting"), e.getMessage)
 
-    def aviList(payload: Array[Byte]) = {
-      val size = 4 + payload.length
-      "LIST".getBytes("US-ASCII") ++
-        Array[Byte](size.toByte, (size >> 8).toByte, (size >> 16).toByte, (size >> 24).toByte) ++
-        "hdrl".getBytes("US-ASCII") ++ payload
-    }
-    val nestedLists = (0 until 40).foldLeft(Array.emptyByteArray)((inner, _) => aviList(inner))
-    val riffSize = 4 + nestedLists.length
-    val nestedAvi = "RIFF".getBytes("US-ASCII") ++
-      Array[Byte](riffSize.toByte, (riffSize >> 8).toByte, (riffSize >> 16).toByte, (riffSize >> 24).toByte) ++
-      "AVI ".getBytes("US-ASCII") ++ nestedLists
-    val e2 = intercept[IllegalArgumentException](VideoCodec.decode(nestedAvi))
-    assert(e2.getMessage.contains("nesting"), e2.getMessage)
-  }
-
-  test("decodeMeta parses identical metadata without copying frame payloads") {
-    val bytes = VideoCodec.syntheticAvi(seed = 9, w = 8, h = 8, nFrames = 4, fps = 2, mjpeg = false)
-    val full = VideoCodec.decode(bytes)
-    val meta = VideoCodec.decodeMeta(bytes)
-    assert((meta.width, meta.height, meta.fps, meta.mjpeg, meta.frames.size)
-      == ((full.width, full.height, full.fps, full.mjpeg, full.frames.size)))
-    assert(meta.frames.forall(_.isEmpty), "decodeMeta must not carry payloads")
-    assert(full.frames.forall(_.nonEmpty), "full decode must")
+    // a v1 64-bit duration whose *1000 ms conversion wraps mod 2^64
+    // (0x4000000000000000 * 1000 ≡ 0) must reject, not parse as 0 ms
+    val wrap = Mp4Codec.syntheticMp4(seed = 1, w = 16, h = 16,
+      durationMs = 0x4000000000000000L, nSamples = 2L, v1Boxes = true)
+    val e3 = intercept[IllegalArgumentException](Mp4Codec.parseMeta(wrap))
+    assert(e3.getMessage.contains("overflows"), e3.getMessage)
   }
 
   test("extractMetadata: live byte parse equals the declared corpus metadata for EVERY modality") {

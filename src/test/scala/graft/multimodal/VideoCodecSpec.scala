@@ -251,4 +251,30 @@ class VideoCodecSpec extends SparkTestBase {
     val counts = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
     for ((id, n) <- counts) assert(n == math.max(byDoc(id).duration_ms / 5000, 1))
   }
+
+  test("deep LIST nesting rejects with IAE, never StackOverflowError") {
+    def aviList(payload: Array[Byte]) = {
+      val size = 4 + payload.length
+      "LIST".getBytes("US-ASCII") ++
+        Array[Byte](size.toByte, (size >> 8).toByte, (size >> 16).toByte, (size >> 24).toByte) ++
+        "hdrl".getBytes("US-ASCII") ++ payload
+    }
+    val nestedLists = (0 until 40).foldLeft(Array.emptyByteArray)((inner, _) => aviList(inner))
+    val riffSize = 4 + nestedLists.length
+    val nestedAvi = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](riffSize.toByte, (riffSize >> 8).toByte, (riffSize >> 16).toByte, (riffSize >> 24).toByte) ++
+      "AVI ".getBytes("US-ASCII") ++ nestedLists
+    val e = intercept[IllegalArgumentException](VideoCodec.decode(nestedAvi))
+    assert(e.getMessage.contains("nesting"), e.getMessage)
+  }
+
+  test("decodeMeta parses identical metadata without copying frame payloads") {
+    val bytes = VideoCodec.syntheticAvi(seed = 9, w = 8, h = 8, nFrames = 4, fps = 2, mjpeg = false)
+    val full = VideoCodec.decode(bytes)
+    val meta = VideoCodec.decodeMeta(bytes)
+    assert((meta.width, meta.height, meta.fps, meta.mjpeg, meta.frames.size)
+      == ((full.width, full.height, full.fps, full.mjpeg, full.frames.size)))
+    assert(meta.frames.forall(_.isEmpty), "decodeMeta must not carry payloads")
+    assert(full.frames.forall(_.nonEmpty), "full decode must")
+  }
 }
