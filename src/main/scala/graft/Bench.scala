@@ -58,6 +58,103 @@ object Bench {
     ((System.nanoTime() - t0) / 1000000L, h)
   }
 
+  /** IN-WINDOW contention sampler (round 7). The bracketing pre/post probes
+    * cannot see a contention burst that starts AND ends inside the measured
+    * window (round 6's driver draw: rollup 10× inflated, both probes clean).
+    * This daemon thread runs a small FIXED probe — one rotate-xor-multiply
+    * hash sweep over a seeded 16 MB long array — every `periodMs` during the
+    * measured window and records, per sample, wall time AND thread-CPU time:
+    *
+    *  - wall time reflects scheduling pressure. The bench itself saturates
+    *    the box, so the clean IN-WINDOW wall band is above the idle-host
+    *    probe band (the sampler is thread N+1 of N cores) — the decision
+    *    rule therefore compares against the CLEAN IN-WINDOW reference in
+    *    BENCH/BASELINE.md, not the idle one. A host burst mid-window shows
+    *    up as wall_max (and usually wall_median) far above that band.
+    *  - cpu time is the sanity anchor: the sweep's work is fixed, so the
+    *    cpu median must sit at the idle reference regardless of load — if
+    *    it drifts, the probe itself changed (miscompile/DCE), not the host.
+    *
+    * The sweep hash is deterministic for a given seed (same anti-DCE
+    * witness as calibrationProbe) and emitted in the JSON line. Sampler
+    * cost: ~3 ms of one thread every 2 s — noise against a 32-core window.
+    */
+  final class InWindowSampler(periodMs: Long = 2000L, seed: Long = 0x9E3779B97F4A7C15L) {
+    final case class Sample(offsetMs: Long, wallMicros: Long, cpuMicros: Long)
+
+    private val n = 2 * 1024 * 1024 // 2 Mi longs = 16 MB per sweep
+    private val a = new Array[Long](n)
+    locally { // splitmix64 fill — touches every page before any timed sweep
+      var x = seed
+      var i = 0
+      while (i < n) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        a(i) = z ^ (z >>> 31)
+        i += 1
+      }
+    }
+
+    /** one full sweep; deterministic for (seed, n) — the anti-DCE witness */
+    def sweepHash: Long = {
+      var h = seed
+      var k = 0
+      while (k < n) { h = java.lang.Long.rotateLeft(h ^ a(k), 27) * 0x9FB21C651E98DF25L; k += 1 }
+      h
+    }
+
+    @volatile private var running = false
+    @volatile private[graft] var lastHash = 0L
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Sample]()
+    private val t0 = System.nanoTime()
+    private val thread = new Thread(
+      () => {
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+        val cpuOk = mx.isCurrentThreadCpuTimeSupported
+        lastHash = sweepHash // untimed JIT warm-up before the first sample
+        while (running) {
+          val w0 = System.nanoTime()
+          val c0 = if (cpuOk) mx.getCurrentThreadCpuTime else 0L
+          lastHash = sweepHash
+          val w1 = System.nanoTime()
+          val c1 = if (cpuOk) mx.getCurrentThreadCpuTime else 0L
+          buf.add(Sample((w0 - t0) / 1000000L, (w1 - w0) / 1000L, (c1 - c0) / 1000L))
+          try Thread.sleep(periodMs)
+          catch { case _: InterruptedException => () } // stop() wake-up
+        }
+      },
+      "graft-bench-inwindow-sampler"
+    )
+    thread.setDaemon(true)
+
+    def start(): this.type = { running = true; thread.start(); this }
+
+    def stop(): Vector[Sample] = {
+      running = false
+      thread.interrupt()
+      thread.join(10000)
+      buf.toArray(Array.empty[Sample]).toVector.sortBy(_.offsetMs)
+    }
+  }
+
+  private def medianMicros(xs: Seq[Long]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      val mid = s.length / 2
+      (if (s.length % 2 == 1) s(mid).toDouble else (s(mid - 1) + s(mid)) / 2.0) / 1000.0
+    }
+
+  /** the sampler fields of the JSON line, shared by Bench and ScalingBench */
+  private[graft] def inWindowJson(samples: Vector[InWindowSampler#Sample], hash: Long): String = {
+    val wallMed = medianMicros(samples.map(_.wallMicros))
+    val wallMax = if (samples.isEmpty) 0.0 else samples.map(_.wallMicros).max / 1000.0
+    val cpuMed = medianMicros(samples.map(_.cpuMicros))
+    s""""calibration_inwindow_n":${samples.length},"calibration_inwindow_wall_median_ms":${f"$wallMed%.3f"},"calibration_inwindow_wall_max_ms":${f"$wallMax%.3f"},"calibration_inwindow_cpu_median_ms":${f"$cpuMed%.3f"},"calibration_inwindow_hash":"${f"$hash%016x"}""""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,6 +169,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // in-window sampler covers EVERY measured region (rollup+detect and the
+    // per-query loop) — the burst class the bracketing probes cannot see
+    val sampler = new InWindowSampler().start()
+
     // headline: derive + tier ladder over synthetic transcripts
     val (pointsPerSec, tierRows, rollupSec) = rollupThroughput(spark, turns, cpus.toInt)
 
@@ -84,7 +185,13 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"media fixture warm-up failed: $e") }
 
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
-    // post-window probe: contention that started mid-run shows up here
+    val samples = sampler.stop()
+    // post-window probe AFTER spark.stop() + an explicit GC (ADVICE r6): with
+    // the full driver/executor heap still live, bench-induced GC pressure
+    // inflates the post probe and the judge-on-worse rule would misattribute
+    // engine-JVM pressure to host contention, falsely discarding clean draws
+    spark.stop()
+    System.gc()
     val (calPostMs, calHash2) = calibrationProbe()
     require(calHash2 == calHash, s"calibration probe non-deterministic: $calHash vs $calHash2")
     val qs = results
@@ -97,12 +204,11 @@ object Bench {
     // calibration_ms = worse of the pre/post probes: the contended/clean
     // decision rule lives in BENCH/BASELINE.md (clean-host reference value)
     val calJson =
-      s""""calibration_ms":${math.max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,"calibration_hash":"${f"$calHash%016x"}""""
+      s""""calibration_ms":${math.max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,"calibration_hash":"${f"$calHash%016x"}",${inWindowJson(samples, sampler.lastHash)}"""
     val json =
       s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec,$calJson}"""
     println(json)
     writeBenchJson(json)
-    spark.stop()
   }
 
   /** The same line, to a FILE: sbt wraps stdout in [info] noise, so the file

@@ -23,13 +23,18 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sampler = new Bench.InWindowSampler().start()
     val (pps, tiers, sec) = Bench.rollupThroughput(spark, turns, cores)
+    val samples = sampler.stop()
+    // post probe after spark.stop() + GC (ADVICE r6): a live engine heap
+    // inflates the post probe and misreads as host contention
+    spark.stop()
+    System.gc()
     val (calPostMs, _) = Bench.calibrationProbe()
     val tiersJson = tiers.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
       s"""{"bench":"scaling","cores":$cores,"turns":$turns,"points_per_sec":${pps.toLong},"wall_sec":$sec,"tier_rows":$tiersJson,"calibration_ms":${math
-          .max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs}"""
+          .max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,${Bench.inWindowJson(samples, sampler.lastHash)}}"""
     )
-    spark.stop()
   }
 }

@@ -90,6 +90,16 @@ object Mp4Codec {
               require(len >= 32, s"v1 mvhd box too short ($len bytes)")
               timescale = u32(bytes, b + 20); duration = u64(bytes, b + 24)
             } else { timescale = u32(bytes, b + 12); duration = u32(bytes, b + 16) }
+            // all-ones duration is ISO BMFF's "unknown duration" SENTINEL, not
+            // a real tick count. The v1 value (-1) happens to trip the sign
+            // check below, but the v0 sentinel (0xFFFFFFFF) parses as ~4.3e9
+            // ticks — for timescale >= 4296 that is a plausible ms value which
+            // would flow silently into MediaMeta. Reject both EXPLICITLY: the
+            // parser's contract is loud rejection, never plausible garbage.
+            require(
+              duration != 0xFFFFFFFFL && duration != -1L,
+              "MP4 mvhd duration is the all-ones 'unknown duration' sentinel — no real duration to report"
+            )
           case "tkhd" =>
             // width/height are 16.16 fixed point at the end of the box;
             // v1 carries 64-bit times/duration, shifting them by 12 bytes

@@ -206,6 +206,16 @@ final class TableStore(
     * single following atomic mutation.
     */
   private def withMaintenanceLock[A](op: String)(f: => A): A = {
+    // fail FAST on same-thread nesting: a nested acquisition could never
+    // succeed anyway (our own live lock file reads as held), but if it ever
+    // did, the inner finally would null the ThreadLocal lease body and the
+    // outer op's next assertLeaseHeld would throw IllegalStateException
+    // instead of verifying its lease — make the misuse loud at the call
+    // site instead of corrupting the outer holder's fencing state
+    require(
+      currentLeaseBody.get().isEmpty,
+      s"nested withMaintenanceLock($op) on a thread already holding the $table maintenance lease — leased ops must call the *Locked bodies directly"
+    )
     Files.createDirectories(manifestDir)
     val body = s"pid=${ProcessHandle.current().pid()} op=$op nonce=${java.util.UUID.randomUUID()}"
     var attempts = 0

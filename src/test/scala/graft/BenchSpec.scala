@@ -36,6 +36,36 @@ class BenchSpec extends SparkTestBase {
     assert(hash2 != hash)
   }
 
+  test("InWindowSampler: deterministic sweep hash (pinned), samples recorded, JSON fields present") {
+    val sampler = new Bench.InWindowSampler(periodMs = 50L)
+    // pinned hash = anti-DCE witness, same contract as calibrationProbe: if
+    // the sweep is elided or the constants drift, the in-window wall/cpu
+    // numbers stop measuring the documented 16 MB workload
+    assert(sampler.sweepHash == sampler.sweepHash, "sweep must be deterministic")
+    val h = sampler.sweepHash
+    assert(h == 0x828faaa04855dcafL, f"in-window sweep hash drifted: $h%016x")
+    // a different seed reads a different array → different hash
+    assert(new Bench.InWindowSampler(seed = 1L).sweepHash != h)
+    sampler.start()
+    Thread.sleep(300)
+    val samples = sampler.stop()
+    assert(samples.nonEmpty, "sampler must record at least one sample")
+    assert(samples.forall(_.wallMicros > 0), s"zero-wall sample (DCE suspected): $samples")
+    assert(samples.map(_.offsetMs) == samples.map(_.offsetMs).sorted, "samples must be time-ordered")
+    val json = Bench.inWindowJson(samples, sampler.lastHash)
+    for (
+      field <- Seq(
+        "calibration_inwindow_n",
+        "calibration_inwindow_wall_median_ms",
+        "calibration_inwindow_wall_max_ms",
+        "calibration_inwindow_cpu_median_ms",
+        "calibration_inwindow_hash"
+      )
+    ) assert(json.contains("\"" + field + "\":"), s"missing $field in $json")
+    assert(json.contains(s""""calibration_inwindow_n":${samples.length}"""))
+    assert(json.contains(f""""calibration_inwindow_hash":"$h%016x""""), json)
+  }
+
   test("writeBenchJson: file content equals the stdout line; IO failure is non-fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_out")
     val line = """{"metric":"rollup_points_per_sec","value":42}"""

@@ -38,6 +38,20 @@ class Mp4CodecSpec extends SparkTestBase {
     }
   }
 
+  test("parseMeta rejects the all-ones 'unknown duration' sentinel in BOTH mvhd versions") {
+    // v0: 0xFFFFFFFF parses as ~4.3e9 ticks — for timescale >= 4296 the ms
+    // value is Int-plausible and would flow silently into MediaMeta; v1: -1
+    // only trips the sign check incidentally. Both must reject BY NAME.
+    for ((sentinelMs, v1) <- Seq((0xFFFFFFFFL, false), (-1L, true))) {
+      val b = Mp4Codec.syntheticMp4(seed = 5, w = 16, h = 16, durationMs = sentinelMs, nSamples = 4L, v1Boxes = v1)
+      val e = intercept[IllegalArgumentException](Mp4Codec.parseMeta(b))
+      assert(e.getMessage.contains("unknown duration"), s"v1=$v1: wrong rejection: ${e.getMessage}")
+    }
+    // a real near-max v0 duration (one below the sentinel) still parses
+    val ok = Mp4Codec.syntheticMp4(seed = 5, w = 16, h = 16, durationMs = 0xFFFFFFFEL, nSamples = 4L)
+    assert(Mp4Codec.parseMeta(ok).durationMs == 0xFFFFFFFEL)
+  }
+
   test("mdatPayload: exactly the seeded bitstream; pins the q25 oracle length formula") {
     for (seed <- Seq(2L, 8L, 14L, 511L, 512L, 767L)) {
       val b = Mp4Codec.syntheticMp4(seed, w = 16, h = 16, durationMs = 1000L, nSamples = 2L)

@@ -506,6 +506,24 @@ class TableStoreSpec extends SparkTestBase {
     assert(!Files.exists(wm))
   }
 
+  test("nested withMaintenanceLock on the same thread fails FAST, and the outer lease still releases") {
+    // a nested acquisition could never succeed (our own live lock reads as
+    // held), but its finally would null the ThreadLocal lease body and break
+    // the OUTER op's later assertLeaseHeld — the guard makes the misuse loud
+    // at the nested call site instead
+    val base = tmp()
+    val store = new TableStore(base, "tier_nest")
+    store.write(df("2024-01-01" -> 1), "day", "stream-n-batch-0", append = true)
+    val lock = Paths.get(s"$base/tier_nest/_manifests/maintenance.lock")
+    store.leaseCheckHook = _ => store.compactLineageLedger() // nested acquisition on the SAME thread
+    try {
+      val e = intercept[IllegalArgumentException](store.gcStreamWatermarks(maxAgeMs = 1L))
+      assert(e.getMessage.contains("nested withMaintenanceLock"), e.getMessage)
+    } finally store.leaseCheckHook = _ => ()
+    assert(!Files.exists(lock), "the outer holder's abort must still release its lease")
+    store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // and the next op acquires cleanly
+  }
+
   test("same-instance cross-thread steal: the zombie compares ITS OWN lease body, not the new holder's") {
     // the lease body is ThreadLocal: with an instance-level field, thread B's
     // steal+re-acquire on the SAME TableStore instance would overwrite the
