@@ -153,8 +153,24 @@ object Ann {
     * enforced by requireLshParams), NOT a window — a window's
     * partitionBy(t, b) would funnel the whole corpus, embeddings included,
     * through ≤ |buckets| tasks.
+    *
+    * `hardCap = true` switches to the rank-based STRICT variant
+    * (Thinning.hardCapSurvivors): max bucket size ≤ cap exactly, for
+    * callers whose downstream sizing needs the hard |buckets|·cap bound.
+    * It replaces the census with exactly the window funnel the default
+    * avoids (every row, embedding payload included, through ≤ |buckets|
+    * tasks + a per-bucket sort) — a real cost at scale, which is why
+    * hash-modulus (in-expectation cap, binomial survivors) stays the
+    * default. Both modes pick survivors by the same per-bucket-salted hash.
     */
-  private[graft] def bucketedCapped(corpus: DataFrame, nPlanes: Int, nTables: Int, dims: Int, maxBucketSize: Int): DataFrame = {
+  private[graft] def bucketedCapped(
+      corpus: DataFrame,
+      nPlanes: Int,
+      nTables: Int,
+      dims: Int,
+      maxBucketSize: Int,
+      hardCap: Boolean = false
+  ): DataFrame = {
     requireLshParams(nPlanes, nTables, maxBucketSize)
     val tables = array(
       (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes, dims).as("b"))): _*
@@ -162,11 +178,18 @@ object Ann {
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val sizes = bucketed.groupBy("t", "b").agg(count(lit(1)).as("_bsz"))
-    bucketed
-      .join(broadcast(sizes), Seq("t", "b"))
-      .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("vec_id"), col("t"), col("b")))
-      .drop("_bsz")
+    if (hardCap)
+      // strict mode needs no census: under-cap buckets pass the rank filter whole
+      graft.spark.Thinning.hardCapSurvivors(
+        bucketed, maxBucketSize, Seq(col("t"), col("b")), Seq(col("vec_id"), col("t"), col("b"))
+      )
+    else {
+      val sizes = bucketed.groupBy("t", "b").agg(count(lit(1)).as("_bsz"))
+      bucketed
+        .join(broadcast(sizes), Seq("t", "b"))
+        .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("vec_id"), col("t"), col("b")))
+        .drop("_bsz")
+    }
   }
 
   /** embedding-cosine near-duplicate pairs (dedup family): multi-table LSH
@@ -181,7 +204,8 @@ object Ann {
       nPlanes: Int = 6,
       nTables: Int = 6,
       maxBucketSize: Int = 1024,
-      dims: Int = 0
+      dims: Int = 0,
+      hardCap: Boolean = false
   ): DataFrame = {
     requireLshParams(nPlanes, nTables, maxBucketSize) // before the resolveDims job
     // The explicit repartition on the join key is load-bearing: both self-
@@ -189,10 +213,12 @@ object Ann {
     // other side reads a ReusedExchange — without it each side (and the
     // census) re-runs the scan + nTables·nPlanes plane dot products per row
     // (4 full sweeps, measured 4–6× slower at sf0.1). The shuffled frame is
-    // the THINNED one, ≈|buckets|·cap ≈ nTables·2^nPlanes·cap rows in
-    // expectation (binomial per bucket, tightly concentrated — Thinning's
-    // scaladoc) at ANY corpus size, so the exchange stays small at 100 TB.
-    val bucketed = bucketedCapped(corpus, nPlanes, nTables, resolveDims(corpus, dims), maxBucketSize)
+    // the THINNED one: ≈|buckets|·cap ≈ nTables·2^nPlanes·cap rows in
+    // expectation under the default hash-modulus mode (binomial per bucket,
+    // tightly concentrated — Thinning's scaladoc), or EXACTLY ≤ that bound
+    // under `hardCap = true` (rank-based, at the cost of the bucketedCapped
+    // window funnel) — so the exchange stays small at 100 TB either way.
+    val bucketed = bucketedCapped(corpus, nPlanes, nTables, resolveDims(corpus, dims), maxBucketSize, hardCap)
       .repartition(col("t"), col("b"))
     bucketed
       .as("a")
@@ -223,11 +249,12 @@ object Ann {
       nPlanes: Int = 8,
       nTables: Int = 8,
       maxBucketSize: Int = 4096,
-      dims: Int = 0
+      dims: Int = 0,
+      hardCap: Boolean = false
   ): DataFrame = {
     requireLshParams(nPlanes, nTables, maxBucketSize) // before the resolveDims job
     val dims0 = resolveDims(corpus, dims)
-    val c = bucketedCapped(corpus, nPlanes, nTables, dims0, maxBucketSize)
+    val c = bucketedCapped(corpus, nPlanes, nTables, dims0, maxBucketSize, hardCap)
     val qtables = array(
       (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes, dims0).as("b"))): _*
     )

@@ -138,7 +138,12 @@ object TextOps {
     * bucket on (band, band-hash), emit candidate pairs sharing a bucket.
     * The shuffle key is (band, hash) — uniform by construction.
     */
-  def minHashCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
+  def minHashCandidatePairs(
+      signatures: DataFrame,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 256,
+      hardCap: Boolean = false
+  ): DataFrame = {
     require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     // CEILING band count: truncating division silently ignored the trailing
@@ -173,18 +178,30 @@ object TextOps {
     // an over-cap bucket IS the strongest dedup signal there is (identical
     // band signatures, e.g. 1000 copies of one boilerplate doc), and every
     // band of such a clone group trips the cap — dropping would return zero
-    // candidates for exactly the most-duplicated documents. Sampled-bucket
-    // output stays ≈|buckets|·cap² in expectation (binomial survivor count,
-    // mean cap — Thinning's scaladoc). Unlike the ANN census (a
-    // bounded bucket-id space that would funnel a window), the key here is
-    // the 64-bit band-signature hash — high-cardinality by construction —
-    // so the count runs as a window over the SAME (band, bucket) exchange
-    // the self-join needs: the cap costs no extra sweep of the corpus.
-    val wB = Window.partitionBy("band", "bucket")
-    val capped = banded
-      .withColumn("_bsz", count(lit(1)).over(wB))
-      .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("doc_id"), col("band"), col("bucket")))
-      .drop("_bsz")
+    // candidates for exactly the most-duplicated documents. Under the
+    // DEFAULT hash-modulus mode, sampled-bucket output stays ≈|buckets|·cap²
+    // in expectation (binomial survivor count, mean cap — Thinning's
+    // scaladoc); `hardCap = true` switches to the rank-based variant whose
+    // bound is EXACT (max bucket ≤ cap), for callers that need the strict
+    // |buckets|·cap² sizing. Unlike the ANN census (a bounded bucket-id
+    // space that would funnel a window), the key here is the 64-bit
+    // band-signature hash — high-cardinality by construction — so BOTH
+    // modes run as a window over the SAME (band, bucket) exchange the
+    // self-join needs: the cap costs no extra sweep of the corpus (the
+    // hard-cap variant adds only the per-bucket sort of row_number vs the
+    // unordered count).
+    val capped =
+      if (hardCap)
+        graft.spark.Thinning.hardCapSurvivors(
+          banded, maxBucketSize, Seq(col("band"), col("bucket")), Seq(col("doc_id"), col("band"), col("bucket"))
+        )
+      else {
+        val wB = Window.partitionBy("band", "bucket")
+        banded
+          .withColumn("_bsz", count(lit(1)).over(wB))
+          .where(graft.spark.Thinning.survivesCap(col("_bsz"), maxBucketSize, col("doc_id"), col("band"), col("bucket")))
+          .drop("_bsz")
+      }
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

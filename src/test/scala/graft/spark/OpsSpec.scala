@@ -232,6 +232,41 @@ class OpsSpec extends SparkTestBase {
     assert(ep.isEmpty, s"empty sigs must produce no candidates: ${ep.mkString(",")}")
   }
 
+  test("ANN hard-cap mode holds every LSH bucket at EXACTLY the cap") {
+    val s = spark
+    import s.implicits._
+    // 64 identical vectors → one bucket per table, 8× over cap. The default
+    // hash-modulus mode keeps ≈cap (binomial); hardCap = true must keep
+    // EXACTLY cap per (t, b) — the strict |buckets|·cap bound.
+    val corpus = (0 until 64).map(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "embedding")
+    val byBucket = Ann
+      .bucketedCapped(corpus, nPlanes = 4, nTables = 3, dims = 4, maxBucketSize = 8, hardCap = true)
+      .groupBy("t", "b").count().collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(byBucket.length == 3, s"one bucket per table expected, got ${byBucket.length}")
+    assert(byBucket.forall(_._2 == 8L), s"hard cap must hold exactly: ${byBucket.mkString(",")}")
+    // per-table survivor independence (the multi-table recall argument)
+    // must survive the mode switch: bucket identity is in the rank salt
+    val sets = Ann
+      .bucketedCapped(corpus, nPlanes = 4, nTables = 3, dims = 4, maxBucketSize = 8, hardCap = true)
+      .select("t", "vec_id").collect()
+      .groupBy(_.getInt(0)).map { case (_, rows) => rows.map(_.getLong(1)).toSet }
+    assert(sets.toSet.size > 1, s"hard-cap survivor sets must still differ across tables, got $sets")
+  }
+
+  test("minhash hard-cap mode gives the strict bands·C(cap,2) pair bound") {
+    val s = spark
+    import s.implicits._
+    // same 40-clone fixture as the default-mode test: 2 bands, each one
+    // bucket of 40. hardCap = true keeps exactly 8 per band bucket, so the
+    // pair count is STRICTLY ≤ 2·C(8,2) = 56 (distinct() may dedup pairs
+    // the two bands' survivor sets share) — no binomial slack needed.
+    val sig = Array.tabulate(8)(i => (i * 17L + 3) % 97)
+    val clones = (0 until 40).map(i => (i.toLong, sig)).toDF("doc_id", "sig")
+    val n = TextOps.minHashCandidatePairs(clones, rowsPerBand = 4, maxBucketSize = 8, hardCap = true).count()
+    assert(n > 0, "hard-cap clone bucket must still degrade to sampled pairs, not emptiness")
+    assert(n <= 2L * 28, s"strict bound bands·C(cap,2) = 56 violated: got $n")
+  }
+
   test("simHash emits exactly one row per doc; token-less docs hash to 0") {
     val s = spark
     import s.implicits._

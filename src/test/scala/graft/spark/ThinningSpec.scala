@@ -34,4 +34,60 @@ class ThinningSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Thinning.survivesCap(lit(10L), 0, col("id")))
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
+
+  // --- rank-based STRICT variant (hardCapSurvivors) ---
+
+  private def threeBuckets = {
+    val s = spark
+    import s.implicits._
+    // bucket 0: 5 rows (under cap), bucket 1: 100 rows (over), bucket 2:
+    // exactly cap — the three cases the strict bound must distinguish
+    ((0 until 5).map(i => (0, i.toLong)) ++
+      (0 until 100).map(i => (1, i.toLong)) ++
+      (0 until 10).map(i => (2, i.toLong))).toDF("b", "id")
+  }
+
+  test("hardCapSurvivors bounds every bucket at EXACTLY min(size, cap)") {
+    val thinned = Thinning.hardCapSurvivors(threeBuckets, 10, Seq(col("b")), Seq(col("id"), col("b")))
+    val sizes = thinned.groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0 -> 5L, 1 -> 10L, 2 -> 10L), s"strict cap violated: $sizes")
+    // an under-cap bucket must pass through WHOLE — same rows, not a resample
+    val b0 = thinned.where(col("b") === 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(b0 == (0L until 5L).toSet, s"under-cap bucket must be untouched, got $b0")
+  }
+
+  test("hardCapSurvivors survivor set is deterministic across input partitioning") {
+    def survivors(parts: Int): Set[(Int, Long)] =
+      Thinning
+        .hardCapSurvivors(threeBuckets.repartition(parts), 10, Seq(col("b")), Seq(col("id"), col("b")))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .toSet
+    val one = survivors(1)
+    val seven = survivors(7)
+    assert(one == seven, s"survivors must not depend on partitioning: ${one.size} vs ${seven.size}")
+  }
+
+  test("hardCapSurvivors picks independent survivor sets per bucket (salt includes bucket identity)") {
+    val s = spark
+    import s.implicits._
+    // two over-cap buckets with IDENTICAL id populations: bucket-salted
+    // ordering must pick different survivors, same guarantee survivesCap's
+    // salting gives the multi-table LSH recall argument
+    val df = (0 until 100).flatMap(i => Seq((0, i.toLong), (1, i.toLong))).toDF("b", "id")
+    val byBucket = Thinning
+      .hardCapSurvivors(df, 10, Seq(col("b")), Seq(col("id"), col("b")))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) => b -> rows.map(_.getLong(1)).toSet }
+    assert(byBucket(0).size == 10 && byBucket(1).size == 10, s"both buckets must hold exactly cap: $byBucket")
+    assert(byBucket(0) != byBucket(1), s"bucket-salted survivor sets must differ, got identical ${byBucket(0)}")
+  }
+
+  test("hardCapSurvivors rejects cap below 1 and an empty bucket identity eagerly") {
+    val e1 = intercept[IllegalArgumentException](Thinning.hardCapSurvivors(threeBuckets, 0, Seq(col("b")), Seq(col("id"))))
+    assert(e1.getMessage.contains("cap"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Thinning.hardCapSurvivors(threeBuckets, 10, Seq.empty, Seq(col("id"))))
+    assert(e2.getMessage.contains("bucket"), e2.getMessage)
+  }
 }
