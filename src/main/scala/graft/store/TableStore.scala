@@ -201,9 +201,29 @@ final class TableStore(
     * IMMEDIATELY before each destructive phase (ledger append/rewrite,
     * manifest/watermark/data deletes) and aborts with MaintenanceLockHeld
     * without writing when displaced — so a zombie resuming from a
-    * TTL-overrunning pause can no longer corrupt shared state; the only
-    * remaining window is the microseconds between that re-read and the
-    * single following atomic mutation.
+    * TTL-overrunning pause can no longer corrupt shared state.
+    *
+    * The re-verify→mutation microsecond window that remains is then closed
+    * per mutation class (round 7):
+    *  - the LEDGER REWRITE (the one wrong-METADATA path: a zombie's
+    *    REPLACE_EXISTING move could overwrite a superseder's fresh append)
+    *    is generation-fenced. Every acquisition claims a monotonically
+    *    increasing generation (persisted in `maintenance.generation`,
+    *    embedded in the lock body), sweeps staged `.tmp-ledger-g<k>-*`
+    *    files of every OLDER generation BEFORE its first mutation, and
+    *    stages its own rewrite under its generation. A displaced zombie's
+    *    final move therefore fails loudly (its staged source was
+    *    invalidated by the successor's sweep) — and in the one interleaving
+    *    where the zombie's move lands before the successor's sweep, the
+    *    successor has not yet mutated the ledger (the sweep precedes every
+    *    mutation), so the landed rewrite is still a faithful compaction of
+    *    the exact content the successor sees: no append can be lost in ANY
+    *    interleaving, not just outside a millisecond window.
+    *  - the DELETE sweeps (expired manifests, watermarks, orphans) need no
+    *    fencing: manifest names are monotonic snapshot ids (never reused),
+    *    watermark deletes are safe-by-contract (O(1) fast path only), and
+    *    orphan deletes are age-gated — a zombie's delete in the window is
+    *    the same delete the live holder would perform.
     */
   private def withMaintenanceLock[A](op: String)(f: => A): A = {
     // fail FAST on same-thread nesting: a nested acquisition could never
@@ -217,10 +237,16 @@ final class TableStore(
       s"nested withMaintenanceLock($op) on a thread already holding the $table maintenance lease — leased ops must call the *Locked bodies directly"
     )
     Files.createDirectories(manifestDir)
-    val body = s"pid=${ProcessHandle.current().pid()} op=$op nonce=${java.util.UUID.randomUUID()}"
     var attempts = 0
     var acquired = false
+    var body = ""
+    var gen = 0L
     while (!acquired) {
+      // generation claimed PER ATTEMPT: a lost CREATE_NEW race means another
+      // holder may have persisted this number — re-read so ours stays strictly
+      // above every prior holder's (gaps are fine, regressions are not)
+      gen = readGeneration() + 1
+      body = s"pid=${ProcessHandle.current().pid()} op=$op gen=$gen nonce=${java.util.UUID.randomUUID()}"
       try {
         Files.writeString(maintenanceLockPath, body, StandardOpenOption.CREATE_NEW)
         acquired = true
@@ -253,10 +279,21 @@ final class TableStore(
           if (ageMs >= maintenanceLockTtlMs) stealStaleLock(observedBody.get)
       }
     }
+    // ORDER IS LOAD-BEARING (the fencing proof in the scaladoc above):
+    // 1. persist OUR generation — every later acquirer now reads ≥ gen, so a
+    //    live zombie's staged files always carry a generation strictly below
+    //    its successor's (a zombie stages only AFTER this line ran);
+    // 2. invalidate older generations' staged ledger rewrites — BEFORE this
+    //    holder's first mutation, so "successor mutated" implies "zombie's
+    //    staged file already swept" in every interleaving.
+    persistGeneration(gen)
+    sweepStaleStagedLedgers(gen)
     currentLeaseBody.set(Some(body))
+    currentLeaseGen.set(gen)
     try f
     finally {
       currentLeaseBody.set(None)
+      currentLeaseGen.set(0L)
       // content-checked delete: never remove a superseder's lease. The
       // read→delete gap is microseconds and only reachable after a TTL
       // overrun (see caveat above).
@@ -276,6 +313,52 @@ final class TableStore(
   // comparing its OWN lease body against the file.
   private val currentLeaseBody: ThreadLocal[Option[String]] =
     ThreadLocal.withInitial(() => None)
+
+  // the lease GENERATION this thread holds — ThreadLocal for the same
+  // cross-thread-steal reason as the body above. 0 = not in a leased section.
+  private val currentLeaseGen: ThreadLocal[Long] = ThreadLocal.withInitial(() => 0L)
+
+  // ---- lease generation fencing ----------------------------------------------
+  // `maintenance.generation` holds the last generation any holder claimed.
+  // Written ONLY at lease acquisition (single writer by construction, modulo
+  // the zombie cases the fencing itself covers), read at every acquisition
+  // attempt. A missing/garbled file reads as 0 — the next holder claims 1.
+
+  private def generationPath = manifestDir.resolve("maintenance.generation")
+
+  private def readGeneration(): Long =
+    try Files.readString(generationPath).trim.toLongOption.getOrElse(0L)
+    catch { case _: java.io.IOException => 0L }
+
+  private def persistGeneration(gen: Long): Unit = {
+    val tmp = manifestDir.resolve(s".tmp-gen-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, gen.toString)
+    Files.move(tmp, generationPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** generation of a staged ledger-rewrite file: `.tmp-ledger-g<k>-<uuid>`
+    * → k; the legacy unversioned form `.tmp-ledger-<uuid>` (pre-fencing
+    * binaries, or a crashed writer) reads as 0, i.e. always stale. UUID hex
+    * never starts with 'g', so the two forms cannot collide.
+    */
+  private[graft] def stagedLedgerGen(name: String): Long =
+    if (name.startsWith(".tmp-ledger-g"))
+      name.drop(".tmp-ledger-g".length).takeWhile(_.isDigit).toLongOption.getOrElse(0L)
+    else 0L
+
+  /** Invalidate every staged ledger rewrite of an OLDER lease generation —
+    * the displaced holder's final atomic move then fails on its vanished
+    * source instead of overwriting this holder's (or a later one's) fresh
+    * appends. ONLY `.tmp-ledger-*` files: commit-path `.tmp-*.json`,
+    * watermark `.tmp-wm-*` and generation `.tmp-gen-*` staging are
+    * different protocols and are never touched here.
+    */
+  private def sweepStaleStagedLedgers(gen: Long): Unit =
+    listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith(".tmp-ledger-")).toSeq).foreach { p =>
+      if (stagedLedgerGen(p.getFileName.toString) < gen)
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () } // vanished or busy — the move-side guard still holds
+    }
 
   /** Test seam: runs at the top of every `assertLeaseHeld`, BEFORE the
     * re-read — a spec installs a hook that steals/replaces the lock file
@@ -471,14 +554,32 @@ final class TableStore(
       }
       for ((lo, hi) <- merged.reverse) out.append(s"$rangeMarker$prefix\t$lo\t$hi\n")
     }
-    val tmp = manifestDir.resolve(s".tmp-ledger-${java.util.UUID.randomUUID}")
+    // staged under THIS lease's generation: a successor's acquisition sweep
+    // invalidates it, so a zombie displaced after the assertLeaseHeld below
+    // cannot land a stale rewrite over the successor's fresh appends (the
+    // full interleaving argument is on withMaintenanceLock)
+    val tmp = manifestDir.resolve(s".tmp-ledger-g${currentLeaseGen.get()}-${java.util.UUID.randomUUID}")
     Files.writeString(tmp, out.toString)
     // a displaced holder must abort BEFORE the rewrite lands: replacing the
     // ledger with a stale compaction could lose a superseder's fresh append
     try assertLeaseHeld("lineage-ledger rewrite")
     catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
-    Files.move(tmp, ledger, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ledgerMoveHook() // test seam: the re-verify→move window
+    try Files.move(tmp, ledger, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new MaintenanceLockHeld(
+          s"maintenance lock on $table: staged ledger rewrite (generation ${currentLeaseGen.get()}) was invalidated by a newer lease generation — aborting without writing"
+        )
+    }
   }
+
+  /** Test seam: runs between the rewrite's final pre-mutation re-verify and
+    * its atomic move — a spec simulates a superseding holder INSIDE that
+    * window (the last theoretical wrong-metadata path, closed by generation
+    * fencing) to prove the displaced move is rejected.
+    */
+  @volatile private[graft] var ledgerMoveHook: () => Unit = () => ()
 
   /** Delete per-stream watermark files whose stream appears in NO kept
     * manifest (it has not committed within the snapshot-retention horizon)

@@ -793,4 +793,86 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.read(spark).count() == 2)
     assert(stale.files.nonEmpty) // stale view retained (sanity)
   }
+
+  test("lease generations are monotonic, persisted, and embedded in the lock body") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_gen")
+    store.write(df("2024-01-01" -> 1), "day", "stream-g-batch-0", append = true)
+    val mdir = Paths.get(s"$base/tier_gen/_manifests")
+    val genFile = mdir.resolve("maintenance.generation")
+    val lock = mdir.resolve("maintenance.lock")
+    var seenBody = ""
+    store.leaseCheckHook = _ => seenBody = Files.readString(lock)
+    try {
+      store.gcStreamWatermarks(maxAgeMs = Long.MaxValue)
+      assert(Files.readString(genFile).trim == "1", "first acquisition claims generation 1")
+      assert(seenBody.contains("gen=1"), s"lock body must carry its generation: $seenBody")
+      store.gcStreamWatermarks(maxAgeMs = Long.MaxValue)
+      assert(Files.readString(genFile).trim == "2", "second acquisition claims generation 2")
+      assert(seenBody.contains("gen=2"), s"lock body must carry its generation: $seenBody")
+    } finally store.leaseCheckHook = _ => ()
+    // the parser behind the acquisition sweep: versioned names carry their
+    // generation; the legacy unversioned form always reads stale (0)
+    assert(store.stagedLedgerGen(".tmp-ledger-g7-abc") == 7L)
+    assert(store.stagedLedgerGen(".tmp-ledger-g123-x-y") == 123L)
+    assert(store.stagedLedgerGen(".tmp-ledger-0b9f4e") == 0L)
+    assert(store.stagedLedgerGen(".tmp-ledger-gnotanumber") == 0L)
+  }
+
+  test("generation fencing: a displaced holder's staged ledger move is REJECTED inside the re-verify→move window") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_fence")
+    store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
+    store.write(df("2024-01-01" -> 1), "day", "stream-q-batch-1", append = true)
+    store.expireSnapshots(keepLast = 1) // gen 1 — seeds the ledger
+    val mdir = Paths.get(s"$base/tier_fence/_manifests")
+    val ledger = mdir.resolve("lineage.log")
+    val ledgerBefore = Files.readString(ledger)
+    assert(ledgerBefore.nonEmpty)
+    // the zombie: a compaction paused AFTER its pre-move re-verify passed
+    // (the window assertLeaseHeld cannot cover). While paused, a successor
+    // (ttl 0 = the zombie's lease reads stale) acquires — its acquisition
+    // sweep invalidates the zombie's staged rewrite — and appends a fresh
+    // ledger line the zombie's stale rewrite does not contain.
+    val successor = new TableStore(base, "tier_fence", maintenanceLockTtlMs = 0L)
+    store.ledgerMoveHook = () => {
+      successor.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // steals, claims gen 3, sweeps gen<3
+      Files.writeString(
+        ledger, "stream-fresh-batch-9\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND
+      )
+    }
+    try {
+      val e = intercept[MaintenanceLockHeld](store.compactLineageLedger())
+      assert(e.getMessage.contains("invalidated by a newer lease generation"), e.getMessage)
+    } finally store.ledgerMoveHook = () => ()
+    val after = Files.readString(ledger)
+    assert(after == ledgerBefore + "stream-fresh-batch-9\n", s"the successor's append must survive the zombie: [$after]")
+    // and a healthy later compaction preserves BOTH coverages
+    store.compactLineageLedger()
+    assert(store.hasCommit("stream-q-batch-0") && store.hasCommit("stream-q-batch-1"))
+    assert(store.hasCommit("stream-fresh-batch-9"))
+  }
+
+  test("the acquisition sweep invalidates ONLY older-generation staged ledgers — never other staging protocols") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_sweep")
+    store.write(df("2024-01-01" -> 1), "day", "stream-s-batch-0", append = true)
+    val mdir = Paths.get(s"$base/tier_sweep/_manifests")
+    store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // gen 1 — next acquisition claims 2
+    // plant: two stale staged ledgers (versioned + legacy), one FUTURE-
+    // generation staged ledger, and one staged file per sibling protocol
+    val staleV = mdir.resolve(".tmp-ledger-g1-deadbeef")
+    val staleLegacy = mdir.resolve(".tmp-ledger-deadbeef")
+    val future = mdir.resolve(".tmp-ledger-g999-cafe")
+    val commitTmp = mdir.resolve(".tmp-12345678.json")
+    val wmTmp = mdir.resolve(".tmp-wm-12345678")
+    for (p <- Seq(staleV, staleLegacy, future, commitTmp, wmTmp)) Files.writeString(p, "x")
+    store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // gen 2 — sweeps gen<2
+    assert(!Files.exists(staleV), "gen-1 staged ledger must be invalidated by the gen-2 acquisition")
+    assert(!Files.exists(staleLegacy), "legacy unversioned staged ledger reads as gen 0 — invalidated")
+    assert(Files.exists(future), "a NEWER generation's staged ledger must never be touched")
+    assert(Files.exists(commitTmp), "commit-path staging is a different protocol — never swept here")
+    assert(Files.exists(wmTmp), "watermark staging is a different protocol — never swept here")
+  }
 }
