@@ -44,8 +44,9 @@ object SparkEntry {
     // WAVs; v3 = golden expected_f0/expected_dims feature columns; v4 =
     // real AVI video rows + golden expected_frame_bytes column; v5 = real
     // MP4 containers with parseable moov metadata + honest per-modality
-    // metadata columns)
-    s"$base/media_corpus_v5.parquet"
+    // metadata columns; v6 = half the former mp4 rows are now real
+    // EBML/WebM containers with parseable Info/Tracks metadata)
+    s"$base/media_corpus_v6.parquet"
   }
 
   private[graft] def mediaCorpus(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaDoc] = {
@@ -1038,19 +1039,20 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
-    // q25: frame sampling over the materialized media corpus. Stub mp4 rows:
-    // the n/chunk/slice arithmetic (sampleFrames) re-expressed as integer
-    // SQL — a fully independent oracle. REAL-decode video/avi rows: the
-    // frame COUNT stays the same independent duration arithmetic, but the
-    // sampled payload sizes come out of the AVI container, so their byte
+    // q25: frame sampling over the materialized media corpus. Stub mp4/webm
+    // rows: the n/chunk/slice arithmetic (sampleFrames) re-expressed as
+    // integer SQL — a fully independent oracle. REAL-decode video/avi rows:
+    // the frame COUNT stays the same independent duration arithmetic, but
+    // the sampled payload sizes come out of the AVI container, so their byte
     // sums compare against the golden column frozen at materialization
     // (the q24 pattern). Oracle reads the SAME parquet rows Spark read.
-    // mp4 stub slices cut the mdat BITSTREAM payload, whose length is the
-    // generator's constant 256 + (doc_id % 512) — inlined like the LSH plane
-    // weights (Mp4CodecSpec pins octet-parity between formula and mdat)
+    // mp4/webm stub slices cut the mdat / Cluster-SimpleBlock BITSTREAM
+    // payload, whose length is the shared generator constant
+    // 256 + (doc_id % 512) — inlined like the LSH plane weights
+    // (Mp4CodecSpec/EbmlCodecSpec pin octet-parity between formula and payload)
     "q25_frame_sample" ->
       s"""WITH v AS (SELECT doc_id, 256 + (doc_id % 512) AS len, duration_ms
-        |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime = 'video/mp4'),
+        |            FROM read_parquet('$mediaFixturePath/*.parquet') WHERE mime IN ('video/mp4', 'video/webm')),
         |c AS (SELECT doc_id, len, greatest(duration_ms // 5000, 1) AS n,
         |             greatest(len // greatest(duration_ms // 5000, 1), 1) AS chunk FROM v),
         |f AS (SELECT doc_id,

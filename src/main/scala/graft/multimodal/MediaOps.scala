@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * (`AudioCodec`, JDK `javax.sound.sampled`: WAV → PCM samples → band RMS
   * features), and VIDEO decode is REAL for the AVI container
   * (`VideoCodec`: RIFF parsing + per-frame JPEG via `javax.imageio` for
-  * MJPEG, raw bottom-up BGR rows for uncompressed BI_RGB), and MP4
+  * MJPEG, raw bottom-up BGR rows for uncompressed BI_RGB), and MP4/WebM
   * CONTAINER METADATA is REAL (`Mp4Codec`: ISO BMFF moov/mvhd/tkhd →
-  * duration/dims/sample count, mdat → the bitstream payload). Only the
-  * H.264/VP9 BITSTREAM decode itself — features and frame payloads for
-  * MP4/WebM rows — remains on the clearly marked STUB (`FakeCodec`), a
+  * duration/dims/sample count, mdat → the bitstream payload; `EbmlCodec`:
+  * EBML Info/Tracks → duration/timecode-scale/dims, Cluster SimpleBlock →
+  * the bitstream payload). Only the H.264/VP9 BITSTREAM decode itself —
+  * features and frame payloads for MP4/WebM rows — remains on the clearly
+  * marked STUB (`FakeCodec`), a
   * deterministic pure function of the bytes. The surrounding dataflow —
   * schema, partitioning, batch iteration, feature/resize/frame-sample
   * plans — is identical for all modalities; swapping FakeCodec for e.g. a
@@ -46,10 +48,11 @@ object MediaOps {
     mime == "video/avi" || mime == "video/x-msvideo" || mime == "video/vnd.avi"
 
   /** ======== STUB BOUNDARY (codec-less video BITSTREAMS only — images use
-    * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec, and MP4
-    * CONTAINER METADATA is real via Mp4Codec: duration/dims/sample-count
-    * parse from moov/mvhd/tkhd, and the bytes handed to this stub are the
-    * actual `mdat` bitstream payload, not container headers) ================
+    * ImageCodec, audio uses AudioCodec, AVI video uses VideoCodec, and
+    * MP4/WebM CONTAINER METADATA is real via Mp4Codec/EbmlCodec:
+    * duration/dims parse from moov/mvhd/tkhd resp. Info/Tracks, and the
+    * bytes handed to this stub are the actual `mdat` / Cluster-SimpleBlock
+    * bitstream payload, not container headers) ================
     * A real implementation decodes the bitstream with a video codec; the
     * JDK has none for H.264/VP9, so for MP4/WebM rows this deterministic
     * fake stands in for FEATURES and FRAME PAYLOADS only: "frames" are
@@ -59,11 +62,14 @@ object MediaOps {
     */
   object FakeCodec {
     /** "decode" = hand the stub the real bitstream: for a parseable MP4
-      * that is the `mdat` payload (container headers are metadata, not
-      * pixels); for anything else the bytes as-is
+      * that is the `mdat` payload, for a parseable WebM the first Cluster's
+      * SimpleBlock frame (container headers are metadata, not pixels); for
+      * anything else the bytes as-is
       */
     def decode(media: Array[Byte]): Array[Byte] =
-      if (Mp4Codec.isMp4(media)) Mp4Codec.mdatPayload(media).getOrElse(media) else media
+      if (Mp4Codec.isMp4(media)) Mp4Codec.mdatPayload(media).getOrElse(media)
+      else if (EbmlCodec.isEbml(media)) EbmlCodec.clusterPayload(media).getOrElse(media)
+      else media
 
     def features(media: Array[Byte], dims: Int = 8): Array[Float] = {
       val acc = new Array[Float](dims)
@@ -94,14 +100,18 @@ object MediaOps {
         val mime = (id % 3) match {
           case 0 => "image/png"
           case 1 => "audio/wav"
-          case _ => if (id % 6 == 5) "video/avi" else "video/mp4"
+          case _ =>
+            if (id % 6 == 5) "video/avi"
+            else if ((id / 6) % 2 == 1) "video/webm"
+            else "video/mp4"
         }
         // image rows carry REAL (decodable) PNG bytes, audio rows REAL WAV
         // bytes, half the video rows REAL AVI bytes (alternating MJPEG /
         // lossless raw-DIB payloads, frame count matching the duration
-        // metadata at 2 fps), and the mp4 rows a REAL ISO BMFF container
-        // (parseable moov/mvhd/tkhd metadata) whose mdat bitstream is
-        // seeded opaque bytes for the FakeCodec stub path
+        // metadata at 2 fps), and the mp4/webm rows a REAL container — ISO
+        // BMFF with parseable moov/mvhd/tkhd metadata, or EBML/Matroska
+        // with parseable Info/Tracks metadata — whose mdat / Cluster
+        // bitstream is seeded opaque bytes for the FakeCodec stub path
         val durationMs = 1000 * (1 + (id % 30)).toInt
         val nSamples = 400 + (id % 400).toInt
         val bytes = (id % 3) match {
@@ -115,6 +125,15 @@ object MediaOps {
               nFrames = 2 * (1 + (id % 30)).toInt,
               fps = 2,
               mjpeg = (id / 6) % 2 == 0
+            )
+          case _ if (id / 6) % 2 == 1 =>
+            EbmlCodec.syntheticWebm(
+              seed = id,
+              w = w,
+              h = 16,
+              durationMs = durationMs.toLong,
+              audioTrackFirst = (id / 3) % 2 == 0, // half audio-first: dims must come from the TrackType-1 entry
+              unknownSizeSegment = (id / 3) % 4 == 1 // quarter streaming-mux open Segment size
             )
           case _ =>
             Mp4Codec.syntheticMp4(
@@ -147,9 +166,10 @@ object MediaOps {
 
   /** partition-batched metadata extraction: REAL container parse for every
     * modality — PNG dims via ImageIO, WAV duration via javax.sound, AVI via
-    * the RIFF walker, MP4 via the ISO BMFF walker (moov/mvhd/tkhd) — no
-    * stub anywhere on this path. Unknown mimes REJECT loudly: emitting
-    * zeros would read as real metadata downstream.
+    * the RIFF walker, MP4 via the ISO BMFF walker (moov/mvhd/tkhd), WebM
+    * via the EBML walker (Info/Tracks) — no stub anywhere on this path.
+    * Unknown mimes REJECT loudly: emitting zeros would read as real
+    * metadata downstream.
     */
   def extractMetadata(media: Dataset[MediaDoc]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -179,6 +199,9 @@ object MediaOps {
           MediaMeta(d.doc_id, d.mime, avi.width, avi.height, intMs(d.doc_id, math.round(avi.frames.size * 1000.0 / avi.fps)))
         } else if (Mp4Codec.isMp4(d.media)) {
           val m = Mp4Codec.parseMeta(d.media)
+          MediaMeta(d.doc_id, d.mime, m.width, m.height, intMs(d.doc_id, m.durationMs))
+        } else if (EbmlCodec.isEbml(d.media)) {
+          val m = EbmlCodec.parseMeta(d.media)
           MediaMeta(d.doc_id, d.mime, m.width, m.height, intMs(d.doc_id, m.durationMs))
         } else
           throw new IllegalArgumentException(s"doc ${d.doc_id}: no metadata parser for mime '${d.mime}'")
@@ -259,8 +282,9 @@ object MediaOps {
             Frame(d.doc_id, i, avi.frames(idx))
           }
         } else {
-          // stub slices cut the BITSTREAM (mdat payload for MP4), not
-          // container headers — same boundary as FakeCodec.features
+          // stub slices cut the BITSTREAM (mdat payload for MP4, Cluster
+          // SimpleBlock for WebM), not container headers — same boundary
+          // as FakeCodec.features
           val payload = FakeCodec.decode(d.media)
           val chunk = math.max(payload.length / n, 1)
           (0 until n).iterator.map { i =>

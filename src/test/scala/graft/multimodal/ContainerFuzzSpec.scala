@@ -94,6 +94,40 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"EBML roundtrip/truncation/corruption over $N seeds") {
+    for (seed <- 0 until N) {
+      val rnd = new scala.util.Random(0xCAFE + seed * 104729)
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(2160)
+      val durationMs = 1L + rnd.nextInt(100000000)
+      val audioFirst = rnd.nextBoolean()
+      val openSeg = rnd.nextBoolean()
+      val bytes = EbmlCodec.syntheticWebm(seed, w, h, durationMs, audioFirst, openSeg)
+
+      val meta = EbmlCodec.parseMeta(bytes)
+      assert(meta == EbmlCodec.WebmMeta(w, h, durationMs, 1000000L),
+        s"seed $seed (audioFirst=$audioFirst openSeg=$openSeg): $meta")
+      val payload = EbmlCodec.clusterPayload(bytes).get
+      assert(payload.length == 256 + (seed % 512), s"seed $seed: payload length ${payload.length}")
+
+      // truncation: same answer or loud reject (a prefix ending after
+      // Info+Tracks but before the Cluster is a legal headers-only stream)
+      val cut = 1 + rnd.nextInt(bytes.length - 1)
+      loudOnly(s"seed $seed truncated at $cut")(EbmlCodec.parseMeta(java.util.Arrays.copyOf(bytes, cut)))
+        .foreach(m => assert(m == meta, s"seed $seed: truncation at $cut parsed to a DIFFERENT answer $m"))
+
+      // corruption: any outcome but an accidental crash — this includes
+      // hostile SIZE vints (a flipped lead byte rewrites an element's
+      // declared length class) and hostile float widths
+      val flipped = bytes.clone()
+      val at = rnd.nextInt(flipped.length)
+      flipped(at) = (flipped(at) ^ (1 << rnd.nextInt(8))).toByte
+      loudOnly(s"seed $seed bit-flipped at $at")(EbmlCodec.parseMeta(flipped))
+      // clusterPayload's contract on corrupt input is None — no-crash only
+      loudOnly(s"seed $seed cluster of bit-flipped at $at")(EbmlCodec.clusterPayload(flipped))
+    }
+  }
+
   test("random garbage never parses as either container (and never crashes impolitely)") {
     for (seed <- 0 until N) {
       val rnd = new scala.util.Random(0xDEAD + seed)
@@ -103,9 +137,12 @@ class ContainerFuzzSpec extends AnyFunSuite {
         .foreach(m => fail(s"seed $seed: random garbage parsed as MP4 $m"))
       loudOnly(s"seed $seed garbage avi")(VideoCodec.decode(garbage))
         .foreach(a => fail(s"seed $seed: random garbage parsed as AVI $a"))
-      // mdatPayload's contract on corrupt input is None (caller falls back),
-      // so only the no-crash property applies
+      loudOnly(s"seed $seed garbage ebml")(EbmlCodec.parseMeta(garbage))
+        .foreach(m => fail(s"seed $seed: random garbage parsed as EBML $m"))
+      // mdatPayload/clusterPayload contract on corrupt input is None (caller
+      // falls back), so only the no-crash property applies
       loudOnly(s"seed $seed garbage mdat")(Mp4Codec.mdatPayload(garbage))
+      loudOnly(s"seed $seed garbage cluster")(EbmlCodec.clusterPayload(garbage))
     }
   }
 }

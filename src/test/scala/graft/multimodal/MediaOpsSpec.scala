@@ -58,7 +58,7 @@ class MediaOpsSpec extends SparkTestBase {
         val avi = VideoCodec.decode(d.media) // REAL decode of the re-encoded AVI
         assert(avi.width == 32 && avi.height == 32 && avi.frames.nonEmpty)
         assert(VideoCodec.frameImage(avi, 0).getWidth == 32)
-      } else if (d.mime == "video/mp4") assert(d.height == 16) // untouched
+      } else if (d.mime == "video/mp4" || d.mime == "video/webm") assert(d.height == 16) // untouched
       else assert(d.height == 0) // wav untouched (audio has no dims)
     }
     // the ORIGINAL image-only pass keeps its semantics under the old name:

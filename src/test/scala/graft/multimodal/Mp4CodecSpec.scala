@@ -147,8 +147,8 @@ class Mp4CodecSpec extends SparkTestBase {
         s"doc ${m.doc_id} ($mime): parsed (${m.width},${m.height},${m.duration_ms}) vs declared ($w,$h,$dur)"
       )
     }
-    // all four parser branches really ran
+    // all five parser branches really ran
     val mimes = parsed.map(_.mime).toSet
-    assert(Set("image/png", "audio/wav", "video/mp4", "video/avi").subsetOf(mimes), s"$mimes")
+    assert(Set("image/png", "audio/wav", "video/mp4", "video/webm", "video/avi").subsetOf(mimes), s"$mimes")
   }
 }
