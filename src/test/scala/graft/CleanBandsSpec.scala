@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.google.gson.JsonParser
+import scala.jdk.CollectionConverters._
+
+/** Pins `BENCH/CLEAN_BANDS.json` — the machine-readable per-query clean
+  * bands a driver/judge uses to classify each BENCH per-query time as
+  * clean / contended / regressed mechanically (see the decision rule in
+  * `BENCH/BASELINE.md`) — against the actual query surface:
+  *
+  *  - every `SparkEntry.queries` key has a band (a new query without a band
+  *    would silently escape regression detection);
+  *  - no stale bands for queries that no longer exist;
+  *  - each band is internally consistent: positive clean median and
+  *    `max_ok_sec` = `tolerance_factor` × `clean_median_sec`.
+  */
+class CleanBandsSpec extends AnyFunSuite {
+
+  private val repoRoot: java.nio.file.Path =
+    Seq(java.nio.file.Paths.get("").toAbsolutePath, java.nio.file.Paths.get("/root/repo"))
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(fail("cannot locate the repo root (no build.sbt found)"))
+
+  private lazy val doc = {
+    val f = repoRoot.resolve("BENCH/CLEAN_BANDS.json")
+    assert(java.nio.file.Files.exists(f), s"$f is missing")
+    new JsonParser().parse(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")).getAsJsonObject
+  }
+
+  test("every SparkEntry query has a clean band, and no band is stale") {
+    val bands = doc.get("bands").getAsJsonObject.entrySet().asScala.map(_.getKey).toSet
+    val queries = SparkEntry.queries.keySet
+    assert((queries -- bands).isEmpty, s"queries WITHOUT a clean band: ${queries -- bands}")
+    assert((bands -- queries).isEmpty, s"stale bands for removed queries: ${bands -- queries}")
+  }
+
+  test("bands are internally consistent: positive medians, max_ok = tolerance x median") {
+    // the test-scope gson stub stays scoped to the reference-jar surface
+    // (no getAsDouble); numbers round-trip exactly through the raw literal
+    val tol = doc.get("tolerance_factor").getAsString.toDouble
+    assert(tol >= 1.5 && tol <= 4.0, s"tolerance_factor $tol outside a sane range")
+    for (e <- doc.get("bands").getAsJsonObject.entrySet().asScala) {
+      val b = e.getValue.getAsJsonObject
+      val med = b.get("clean_median_sec").getAsString.toDouble
+      val max = b.get("max_ok_sec").getAsString.toDouble
+      assert(med > 0, s"${e.getKey}: non-positive clean_median_sec $med")
+      assert(math.abs(max - tol * med) < 1e-9, s"${e.getKey}: max_ok_sec $max != $tol x $med")
+    }
+  }
+}
