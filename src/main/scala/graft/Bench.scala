@@ -78,9 +78,23 @@ object Bench {
     * The sweep hash is deterministic for a given seed (same anti-DCE
     * witness as calibrationProbe) and emitted in the JSON line. Sampler
     * cost: ~3 ms of one thread every 2 s — noise against a 32-core window.
+    *
+    * BANDWIDTH probe (round 7, second blind spot): the 16 MB sweep is small
+    * enough to ride the shared L3, so an epoch where a neighbor consumes the
+    * box's DRAM bandwidth — inflating only the bandwidth-bound rollup scan —
+    * can leave wall/cpu above CLEAN (observed: a 4-core leg 25% slow on the
+    * rollup stage with every probe clean). Every `bwEvery`-th sample
+    * additionally times one sequential fold over a seeded 128 MB long array
+    * (far past any cache) and records the observed single-thread read
+    * bandwidth in MB/s. Under the bench's own load the observed value is
+    * depressed by the bench itself, so the decision rule compares against
+    * the clean IN-WINDOW bandwidth reference in BENCH/BASELINE.md, not an
+    * idle-host figure. Probe cost: 128 MB per ~10 s ≈ 13 MB/s of one
+    * thread — noise against a multi-GB/s window.
     */
-  final class InWindowSampler(periodMs: Long = 2000L, seed: Long = 0x9E3779B97F4A7C15L) {
+  final class InWindowSampler(periodMs: Long = 2000L, seed: Long = 0x9E3779B97F4A7C15L, bwEvery: Int = 5) {
     final case class Sample(offsetMs: Long, wallMicros: Long, cpuMicros: Long)
+    final case class BwSample(offsetMs: Long, mbps: Double)
 
     private val n = 2 * 1024 * 1024 // 2 Mi longs = 16 MB per sweep
     private val a = new Array[Long](n)
@@ -105,15 +119,45 @@ object Bench {
       h
     }
 
+    private val bwN = 16 * 1024 * 1024 // 16 Mi longs = 128 MB — far past L3
+    private val bw = new Array[Long](bwN)
+    locally { // same splitmix64 fill, offset seed — pages touched untimed
+      var x = seed ^ 0x5851F42D4C957F2DL
+      var i = 0
+      while (i < bwN) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        bw(i) = z ^ (z >>> 31)
+        i += 1
+      }
+    }
+
+    /** one sequential xor-fold over the 128 MB array; deterministic — the
+      * bandwidth probe's anti-DCE witness (xor keeps the loop load-bound:
+      * one fused op per element, the read stream is the cost)
+      */
+    def bwSweepHash: Long = {
+      var h = seed
+      var k = 0
+      while (k < bwN) { h ^= bw(k) + java.lang.Long.rotateLeft(h, 1); k += 1 }
+      h
+    }
+
     @volatile private var running = false
     @volatile private[graft] var lastHash = 0L
+    @volatile private[graft] var lastBwHash = 0L
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Sample]()
+    private val bwBuf = new java.util.concurrent.ConcurrentLinkedQueue[BwSample]()
     private val t0 = System.nanoTime()
     private val thread = new Thread(
       () => {
         val mx = java.lang.management.ManagementFactory.getThreadMXBean
         val cpuOk = mx.isCurrentThreadCpuTimeSupported
         lastHash = sweepHash // untimed JIT warm-up before the first sample
+        lastBwHash = bwSweepHash
+        var tick = 0
         while (running) {
           val w0 = System.nanoTime()
           val c0 = if (cpuOk) mx.getCurrentThreadCpuTime else 0L
@@ -121,6 +165,14 @@ object Bench {
           val w1 = System.nanoTime()
           val c1 = if (cpuOk) mx.getCurrentThreadCpuTime else 0L
           buf.add(Sample((w0 - t0) / 1000000L, (w1 - w0) / 1000L, (c1 - c0) / 1000L))
+          if (tick % bwEvery == 0) {
+            val b0 = System.nanoTime()
+            lastBwHash = bwSweepHash
+            val b1 = System.nanoTime()
+            val mbps = (bwN * 8L).toDouble / 1048576.0 / ((b1 - b0) / 1e9)
+            bwBuf.add(BwSample((b0 - t0) / 1000000L, mbps))
+          }
+          tick += 1
           try Thread.sleep(periodMs)
           catch { case _: InterruptedException => () } // stop() wake-up
         }
@@ -137,6 +189,10 @@ object Bench {
       thread.join(10000)
       buf.toArray(Array.empty[Sample]).toVector.sortBy(_.offsetMs)
     }
+
+    /** valid after stop() */
+    def bwSamples: Vector[BwSample] =
+      bwBuf.toArray(Array.empty[BwSample]).toVector.sortBy(_.offsetMs)
   }
 
   private def medianMicros(xs: Seq[Long]): Double =
@@ -148,11 +204,22 @@ object Bench {
     }
 
   /** the sampler fields of the JSON line, shared by Bench and ScalingBench */
-  private[graft] def inWindowJson(samples: Vector[InWindowSampler#Sample], hash: Long): String = {
+  private[graft] def inWindowJson(
+      samples: Vector[InWindowSampler#Sample],
+      bwSamples: Vector[InWindowSampler#BwSample],
+      hash: Long,
+      bwHash: Long
+  ): String = {
     val wallMed = medianMicros(samples.map(_.wallMicros))
     val wallMax = if (samples.isEmpty) 0.0 else samples.map(_.wallMicros).max / 1000.0
     val cpuMed = medianMicros(samples.map(_.cpuMicros))
-    s""""calibration_inwindow_n":${samples.length},"calibration_inwindow_wall_median_ms":${f"$wallMed%.3f"},"calibration_inwindow_wall_max_ms":${f"$wallMax%.3f"},"calibration_inwindow_cpu_median_ms":${f"$cpuMed%.3f"},"calibration_inwindow_hash":"${f"$hash%016x"}""""
+    val bwSorted = bwSamples.map(_.mbps).sorted
+    val bwMed =
+      if (bwSorted.isEmpty) 0.0
+      else if (bwSorted.length % 2 == 1) bwSorted(bwSorted.length / 2)
+      else (bwSorted(bwSorted.length / 2 - 1) + bwSorted(bwSorted.length / 2)) / 2.0
+    val bwMin = if (bwSorted.isEmpty) 0.0 else bwSorted.head
+    s""""calibration_inwindow_n":${samples.length},"calibration_inwindow_wall_median_ms":${f"$wallMed%.3f"},"calibration_inwindow_wall_max_ms":${f"$wallMax%.3f"},"calibration_inwindow_cpu_median_ms":${f"$cpuMed%.3f"},"calibration_inwindow_hash":"${f"$hash%016x"}","calibration_inwindow_bw_n":${bwSamples.length},"calibration_inwindow_bw_median_mbps":${f"$bwMed%.0f"},"calibration_inwindow_bw_min_mbps":${f"$bwMin%.0f"},"calibration_inwindow_bw_hash":"${f"$bwHash%016x"}""""
   }
 
   def main(args: Array[String]): Unit = {
@@ -204,7 +271,7 @@ object Bench {
     // calibration_ms = worse of the pre/post probes: the contended/clean
     // decision rule lives in BENCH/BASELINE.md (clean-host reference value)
     val calJson =
-      s""""calibration_ms":${math.max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,"calibration_hash":"${f"$calHash%016x"}",${inWindowJson(samples, sampler.lastHash)}"""
+      s""""calibration_ms":${math.max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,"calibration_hash":"${f"$calHash%016x"}",${inWindowJson(samples, sampler.bwSamples, sampler.lastHash, sampler.lastBwHash)}"""
     val json =
       s"""{"metric":"rollup_points_per_sec","value":${pointsPerSec.toLong},"unit":"points/sec","queries":$qs$errJson,"sf":"$sfDir","bench_turns":$turns,"tier_rows":$tiers,"rollup_sec":$rollupSec,$calJson}"""
     println(json)

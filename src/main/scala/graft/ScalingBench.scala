@@ -34,7 +34,7 @@ object ScalingBench {
     val tiersJson = tiers.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
       s"""{"bench":"scaling","cores":$cores,"turns":$turns,"points_per_sec":${pps.toLong},"wall_sec":$sec,"tier_rows":$tiersJson,"calibration_ms":${math
-          .max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,${Bench.inWindowJson(samples, sampler.lastHash)}}"""
+          .max(calPreMs, calPostMs)},"calibration_pre_ms":$calPreMs,"calibration_post_ms":$calPostMs,${Bench.inWindowJson(samples, sampler.bwSamples, sampler.lastHash, sampler.lastBwHash)}}"""
     )
   }
 }

@@ -36,7 +36,7 @@ class BenchSpec extends SparkTestBase {
     assert(hash2 != hash)
   }
 
-  test("InWindowSampler: deterministic sweep hash (pinned), samples recorded, JSON fields present") {
+  test("InWindowSampler: deterministic sweep hashes (pinned), samples recorded, JSON fields present") {
     val sampler = new Bench.InWindowSampler(periodMs = 50L)
     // pinned hash = anti-DCE witness, same contract as calibrationProbe: if
     // the sweep is elided or the constants drift, the in-window wall/cpu
@@ -44,26 +44,43 @@ class BenchSpec extends SparkTestBase {
     assert(sampler.sweepHash == sampler.sweepHash, "sweep must be deterministic")
     val h = sampler.sweepHash
     assert(h == 0x828faaa04855dcafL, f"in-window sweep hash drifted: $h%016x")
-    // a different seed reads a different array → different hash
-    assert(new Bench.InWindowSampler(seed = 1L).sweepHash != h)
+    // same contract for the 128 MB bandwidth fold: an elided or drifted fold
+    // makes calibration_inwindow_bw_* stop measuring the documented stream
+    assert(sampler.bwSweepHash == sampler.bwSweepHash, "bw fold must be deterministic")
+    val bh = sampler.bwSweepHash
+    assert(bh == 0x286993de5d301928L, f"in-window bw fold hash drifted: $bh%016x")
+    // a different seed reads a different array → different hashes
+    val other = new Bench.InWindowSampler(seed = 1L)
+    assert(other.sweepHash != h)
+    assert(other.bwSweepHash != bh)
     sampler.start()
     Thread.sleep(300)
     val samples = sampler.stop()
     assert(samples.nonEmpty, "sampler must record at least one sample")
     assert(samples.forall(_.wallMicros > 0), s"zero-wall sample (DCE suspected): $samples")
     assert(samples.map(_.offsetMs) == samples.map(_.offsetMs).sorted, "samples must be time-ordered")
-    val json = Bench.inWindowJson(samples, sampler.lastHash)
+    // bwEvery=5 with tick 0 sampled → a 300 ms / 50 ms window has ≥ 1
+    val bwSamples = sampler.bwSamples
+    assert(bwSamples.nonEmpty, "bw probe must record at least one sample (tick 0)")
+    assert(bwSamples.forall(_.mbps > 0), s"non-positive bandwidth sample: $bwSamples")
+    val json = Bench.inWindowJson(samples, bwSamples, sampler.lastHash, sampler.lastBwHash)
     for (
       field <- Seq(
         "calibration_inwindow_n",
         "calibration_inwindow_wall_median_ms",
         "calibration_inwindow_wall_max_ms",
         "calibration_inwindow_cpu_median_ms",
-        "calibration_inwindow_hash"
+        "calibration_inwindow_hash",
+        "calibration_inwindow_bw_n",
+        "calibration_inwindow_bw_median_mbps",
+        "calibration_inwindow_bw_min_mbps",
+        "calibration_inwindow_bw_hash"
       )
     ) assert(json.contains("\"" + field + "\":"), s"missing $field in $json")
     assert(json.contains(s""""calibration_inwindow_n":${samples.length}"""))
     assert(json.contains(f""""calibration_inwindow_hash":"$h%016x""""), json)
+    assert(json.contains(s""""calibration_inwindow_bw_n":${bwSamples.length}"""))
+    assert(json.contains(f""""calibration_inwindow_bw_hash":"$bh%016x""""), json)
   }
 
   test("writeBenchJson: file content equals the stdout line; IO failure is non-fatal") {
