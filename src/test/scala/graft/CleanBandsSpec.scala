@@ -35,6 +35,28 @@ class CleanBandsSpec extends AnyFunSuite {
     assert((bands -- queries).isEmpty, s"stale bands for removed queries: ${bands -- queries}")
   }
 
+  test("committed BENCH_LAST.json carries the full probe surface and the live query set") {
+    // a BENCH_LAST refresh from a stale binary (pre-sampler or pre-bandwidth-
+    // probe) would silently strip the very fields the BASELINE decision rules
+    // key on — pin the committed artifact's shape against the current contract
+    val f = repoRoot.resolve("BENCH_LAST.json")
+    assert(java.nio.file.Files.exists(f), s"$f is missing")
+    val last = new JsonParser().parse(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")).getAsJsonObject
+    for (
+      field <- Seq(
+        "metric", "value", "queries", "tier_rows",
+        "calibration_ms", "calibration_pre_ms", "calibration_post_ms", "calibration_hash",
+        "calibration_inwindow_n", "calibration_inwindow_wall_median_ms",
+        "calibration_inwindow_wall_max_ms", "calibration_inwindow_cpu_median_ms",
+        "calibration_inwindow_hash",
+        "calibration_inwindow_bw_n", "calibration_inwindow_bw_median_mbps",
+        "calibration_inwindow_bw_min_mbps", "calibration_inwindow_bw_hash"
+      )
+    ) assert(last.get(field) != null, s"BENCH_LAST.json missing $field — refreshed from a stale binary?")
+    val qs = last.get("queries").getAsJsonObject.entrySet().asScala.map(_.getKey).toSet
+    assert(qs == SparkEntry.queries.keySet, s"BENCH_LAST query set drifted: only-in-artifact=${qs -- SparkEntry.queries.keySet} missing=${SparkEntry.queries.keySet -- qs}")
+  }
+
   test("bands are internally consistent: positive medians, max_ok = tolerance x median") {
     // the test-scope gson stub stays scoped to the reference-jar surface
     // (no getAsDouble); numbers round-trip exactly through the raw literal
