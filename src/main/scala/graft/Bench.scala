@@ -195,13 +195,20 @@ object Bench {
       bwBuf.toArray(Array.empty[BwSample]).toVector.sortBy(_.offsetMs)
   }
 
-  private def medianMicros(xs: Seq[Long]): Double =
+  private def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0
     else {
       val s = xs.sorted
       val mid = s.length / 2
-      (if (s.length % 2 == 1) s(mid).toDouble else (s(mid - 1) + s(mid)) / 2.0) / 1000.0
+      if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
     }
+
+  /** locale-pinned decimal rendering: the f-interpolator formats with the
+    * JVM default locale, so a comma-decimal locale (de_DE, fr_FR, …) would
+    * emit `4,785` and break every consumer that parses the JSON line
+    */
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
   /** the sampler fields of the JSON line, shared by Bench and ScalingBench */
   private[graft] def inWindowJson(
@@ -210,16 +217,12 @@ object Bench {
       hash: Long,
       bwHash: Long
   ): String = {
-    val wallMed = medianMicros(samples.map(_.wallMicros))
+    val wallMed = median(samples.map(_.wallMicros.toDouble)) / 1000.0
     val wallMax = if (samples.isEmpty) 0.0 else samples.map(_.wallMicros).max / 1000.0
-    val cpuMed = medianMicros(samples.map(_.cpuMicros))
-    val bwSorted = bwSamples.map(_.mbps).sorted
-    val bwMed =
-      if (bwSorted.isEmpty) 0.0
-      else if (bwSorted.length % 2 == 1) bwSorted(bwSorted.length / 2)
-      else (bwSorted(bwSorted.length / 2 - 1) + bwSorted(bwSorted.length / 2)) / 2.0
-    val bwMin = if (bwSorted.isEmpty) 0.0 else bwSorted.head
-    s""""calibration_inwindow_n":${samples.length},"calibration_inwindow_wall_median_ms":${f"$wallMed%.3f"},"calibration_inwindow_wall_max_ms":${f"$wallMax%.3f"},"calibration_inwindow_cpu_median_ms":${f"$cpuMed%.3f"},"calibration_inwindow_hash":"${f"$hash%016x"}","calibration_inwindow_bw_n":${bwSamples.length},"calibration_inwindow_bw_median_mbps":${f"$bwMed%.0f"},"calibration_inwindow_bw_min_mbps":${f"$bwMin%.0f"},"calibration_inwindow_bw_hash":"${f"$bwHash%016x"}""""
+    val cpuMed = median(samples.map(_.cpuMicros.toDouble)) / 1000.0
+    val bwMed = median(bwSamples.map(_.mbps))
+    val bwMin = if (bwSamples.isEmpty) 0.0 else bwSamples.map(_.mbps).min
+    s""""calibration_inwindow_n":${samples.length},"calibration_inwindow_wall_median_ms":${num(wallMed, 3)},"calibration_inwindow_wall_max_ms":${num(wallMax, 3)},"calibration_inwindow_cpu_median_ms":${num(cpuMed, 3)},"calibration_inwindow_hash":"${f"$hash%016x"}","calibration_inwindow_bw_n":${bwSamples.length},"calibration_inwindow_bw_median_mbps":${num(bwMed, 0)},"calibration_inwindow_bw_min_mbps":${num(bwMin, 0)},"calibration_inwindow_bw_hash":"${f"$bwHash%016x"}""""
   }
 
   def main(args: Array[String]): Unit = {
@@ -262,7 +265,7 @@ object Bench {
     val (calPostMs, calHash2) = calibrationProbe()
     require(calHash2 == calHash, s"calibration probe non-deterministic: $calHash vs $calHash2")
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""

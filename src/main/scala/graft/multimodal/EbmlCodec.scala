@@ -146,8 +146,16 @@ object EbmlCodec {
         require(size <= until - body, s"truncated EBML element 0x${id.toHexString} at $p")
         val end = body + size
         id match {
-          case Segment | Info | Tracks => walk(body, end, depth + 1, id)
-          case TrackEntry =>
+          // container cases are parent-guarded like the leaves: a decoy
+          // Info/Tracks/TrackEntry nested in the WRONG parent must be
+          // skipped by size like any unknown element, or its inner leaves
+          // (a junk Duration, decoy dims) would silently overwrite the real
+          // metadata — the plausible-garbage failure mode this parser's
+          // contract forbids. A mis-parented Segment falls through to skip
+          // too; a nesting bomb then rejects via the missing-Info check.
+          case Segment if parent == 0L => walk(body, end, depth + 1, id)
+          case Info | Tracks if parent == Segment => walk(body, end, depth + 1, id)
+          case TrackEntry if parent == Tracks =>
             trakW = 0; trakH = 0; trakType = -1L
             walk(body, end, depth + 1, id)
             if (trakType == 1L && vW == 0 && vH == 0) { vW = trakW; vH = trakH }
@@ -289,7 +297,7 @@ object EbmlCodec {
       uintEl(TrackNumber, videoTrackNo) ++ uintEl(TrackType, 1L) ++ strEl(CodecId, "V_VP9") ++
         el(VideoEl, uintEl(PixelWidth, w.toLong) ++ uintEl(PixelHeight, h.toLong))
     )
-    val audioTrack = el(
+    def audioTrack = el(
       TrackEntry,
       uintEl(TrackNumber, 1L) ++ uintEl(TrackType, 2L) ++ strEl(CodecId, "A_OPUS") ++
         el(AudioEl, floatEl(SamplingFrequency, 8000.0))

@@ -49,7 +49,15 @@ final case class Snapshot(
     snapshotId: Long,
     parentId: Long, // -1 = none
     inputSnapshot: String, // lineage: identifier of the input this was built from
-    partitions: Seq[PartitionManifest]
+    partitions: Seq[PartitionManifest],
+    // Spark StructType.json of the table as READ BACK at commit time
+    // (Iceberg stores schemas in metadata for the same reason): it is the
+    // ONLY schema source once a full TTL drop + expiry leaves zero data
+    // files on disk — without it an empty-table read of such a table has
+    // nothing to infer from and throws UNABLE_TO_INFER_SCHEMA (found by the
+    // round-7 widened store fuzz, seed 27). None on data-less commits
+    // (propagated from the parent) and on pre-schema manifests.
+    schemaJson: Option[String] = None
 )
 
 /** expected concurrency outcome (partition rewritten/dropped under an
@@ -286,8 +294,19 @@ final class TableStore(
     // 2. invalidate older generations' staged ledger rewrites — BEFORE this
     //    holder's first mutation, so "successor mutated" implies "zombie's
     //    staged file already swept" in every interleaving.
-    persistGeneration(gen)
-    sweepStaleStagedLedgers(gen)
+    // fencing-state IO runs AFTER acquisition but BEFORE the try/finally
+    // that releases the lock — a failure here (ENOSPC on the generation
+    // file, a racing delete) must release the freshly-written lock instead
+    // of orphaning it until TTL for every other maintenance writer
+    try {
+      persistGeneration(gen)
+      sweepStaleStagedLedgers(gen)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
     currentLeaseBody.set(Some(body))
     currentLeaseGen.set(gen)
     try f
@@ -332,8 +351,14 @@ final class TableStore(
 
   private def persistGeneration(gen: Long): Unit = {
     val tmp = manifestDir.resolve(s".tmp-gen-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, gen.toString)
-    Files.move(tmp, generationPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, gen.toString)
+      Files.move(tmp, generationPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      // a failed write/move must not leak its staging file (no sweep covers .tmp-gen-*)
+      try Files.deleteIfExists(tmp)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** generation of a staged ledger-rewrite file: `.tmp-ledger-g<k>-<uuid>`
@@ -729,28 +754,48 @@ final class TableStore(
   def read(spark: SparkSession): DataFrame =
     currentSnapshot match {
       case Some(s) if s.partitions.nonEmpty => readSnapshot(spark, s)
-      case Some(_)                          => emptyTable(spark)
+      case Some(s)                          => emptyTable(spark, prefer = Some(s))
       case None                             => spark.read.parquet(dataDir)
     }
 
-  /** empty DataFrame with the table's schema, recovered from any file a past
-    * snapshot still references (or the raw dir as a last resort).
+  /** empty DataFrame with the table's schema. Source preference: the
+    * requested snapshot's manifest schema, then the newest retained
+    * manifest's, then any file a past snapshot still references, then the
+    * raw dir. The manifest schema is load-bearing, not a shortcut: after a
+    * full TTL drop + snapshot expiry ZERO data files can remain on disk —
+    * the file-based recoveries then have nothing to infer from (the raw-dir
+    * scan used to throw UNABLE_TO_INFER_SCHEMA; widened store fuzz, seed 27).
     */
-  private def emptyTable(spark: SparkSession): DataFrame = {
-    val anyPaths = snapshots.reverseIterator
-      .map(s => s.partitions.flatMap(entryPaths))
-      .find(_.nonEmpty)
-    anyPaths match {
-      case Some(paths) => spark.read.option("basePath", dataDir).parquet(paths: _*).limit(0)
-      case None if Files.isDirectory(Paths.get(dataDir)) => spark.read.parquet(dataDir).limit(0)
-      case None => spark.emptyDataFrame
+  private def emptyTable(spark: SparkSession, prefer: Option[Snapshot] = None): DataFrame = {
+    val manifestSchema = prefer.flatMap(_.schemaJson).orElse {
+      val it = snapshots.reverseIterator.flatMap(_.schemaJson)
+      if (it.hasNext) Some(it.next()) else None
+    }
+    manifestSchema match {
+      case Some(sj) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => // pre-schema lineage: recover from files while any remain
+        val anyPaths = snapshots.reverseIterator
+          .map(s => s.partitions.flatMap(entryPaths))
+          .find(_.nonEmpty)
+        anyPaths match {
+          case Some(paths) => spark.read.option("basePath", dataDir).parquet(paths: _*).limit(0)
+          case None if Files.isDirectory(Paths.get(dataDir)) =>
+            // a data dir holding no readable parquet (everything expired)
+            // cannot yield a schema — an empty schemaless frame is the
+            // honest answer, not an inference crash
+            try spark.read.parquet(dataDir).limit(0)
+            catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+          case None => spark.emptyDataFrame
+        }
     }
   }
 
   /** time travel: scan the table exactly as of `snapshotId` */
   def read(spark: SparkSession, snapshotId: Long): DataFrame = {
     val s = snapshot(snapshotId).getOrElse(sys.error(s"no snapshot $snapshotId"))
-    if (s.partitions.isEmpty) emptyTable(spark) else readSnapshot(spark, s)
+    if (s.partitions.isEmpty) emptyTable(spark, prefer = Some(s)) else readSnapshot(spark, s)
   }
 
   private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
@@ -812,11 +857,12 @@ final class TableStore(
         moveStaged(stage, partitionCol, provisionalId)
       } finally deleteRecursively(stage) // a failed/killed staging write must not leak its copy
 
-    val fresh = hashFiles(spark, partitionCol, moved)
+    val (fresh, freshSchema) = hashFiles(spark, partitionCol, moved)
     val writtenParts = moved.keySet
     commit(
       inputSnapshot,
-      parent => {
+      schema = freshSchema,
+      merge = parent => {
         val parentByPart = parent.map(_.partitions.map(p => p.partition -> p).toMap).getOrElse(Map.empty)
         val freshMerged =
           if (!append) fresh
@@ -873,9 +919,17 @@ final class TableStore(
     )
   }
 
-  /** per-partition (rows, content hash, files) over exactly the given files */
-  private def hashFiles(spark: SparkSession, partitionCol: String, files: Map[String, Seq[String]]): Seq[PartitionManifest] = {
-    if (files.isEmpty || files.values.forall(_.isEmpty)) return Seq.empty
+  /** per-partition (rows, content hash, files) over exactly the given files,
+    * plus the READ-BACK schema of those files (StructType.json) — captured
+    * here because this frame already has the basePath-inferred shape every
+    * later read of the table will see
+    */
+  private def hashFiles(
+      spark: SparkSession,
+      partitionCol: String,
+      files: Map[String, Seq[String]]
+  ): (Seq[PartitionManifest], Option[String]) = {
+    if (files.isEmpty || files.values.forall(_.isEmpty)) return (Seq.empty, None)
     val paths = files.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
     val onDisk = spark.read.option("basePath", dataDir).parquet(paths: _*)
     val hashCols = onDisk.columns.sorted.map(col).toSeq
@@ -888,7 +942,7 @@ final class TableStore(
       .collect()
       .map(r => PartitionManifest(r.getAs[String]("p"), r.getAs[Long]("rows"), r.getAs[Long]("h"), files(r.getAs[String]("p"))))
       .sortBy(_.partition)
-      .toSeq
+      .toSeq -> Some(onDisk.schema.json)
   }
 
   /** Atomic commit point (Iceberg CAS, filesystem realization): compute the
@@ -897,7 +951,13 @@ final class TableStore(
     * re-read the new parent, re-merge, retry — both committers' data files
     * survive in the final lineage.
     */
-  private def commit(inputSnapshot: String, merge: Option[Snapshot] => Seq[PartitionManifest]): Snapshot = {
+  private def commit(
+      inputSnapshot: String,
+      merge: Option[Snapshot] => Seq[PartitionManifest],
+      // read-back schema of the data this commit introduces; None (metadata-
+      // only commits: TTL drops, empty writes) propagates the parent's
+      schema: Option[String] = None
+  ): Snapshot = {
     // Lineage ids are caller-supplied free-form strings, but expiry rolls
     // them VERBATIM into the line-oriented lineage ledger: an embedded
     // newline splits into lines that never answer hasCommit (silent double
@@ -925,7 +985,7 @@ final class TableStore(
       }
       val parentSnap = currentSnapshot
       val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
-      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap))
+      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap), schema.orElse(parentSnap.flatMap(_.schemaJson)))
       // The claim must be atomic in CONTENT, not just in name: a bare
       // CREATE_NEW + write publishes an empty/partial file that concurrent
       // readers could parse (or, after a crash mid-write, wedges the table
@@ -1005,10 +1065,11 @@ final class TableStore(
         moveStaged(stage, partitionCol, provisionalId)
       } finally deleteRecursively(stage)
 
-    val fresh = hashFiles(spark, partitionCol, moved)
+    val (fresh, freshSchema) = hashFiles(spark, partitionCol, moved)
     commit(
       parentSnap.inputSnapshot,
-      parent => {
+      schema = freshSchema,
+      merge = parent => {
         val nowEntry = parent.flatMap(_.partitions.find(_.partition == partition))
         if (!nowEntry.exists(_.files == entry.files))
           throw new ConcurrentTableModification(s"compaction of $table/$partition aborted: partition changed concurrently")
@@ -1202,7 +1263,12 @@ object ManifestJson {
     // lands in the first bytes, so any truncated prefix of a v2 body still
     // carries it and is rejected for its missing terminator — while genuine
     // pre-terminator manifests (no marker) keep parsing via the legacy path.
-    s"""{"v":2,"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},"partitions":$parts,"count":${s.partitions.length}}"""
+    // optional schema field (StructType.json, q()-escaped: its quotes render
+    // as \" so the raw byte pattern of any field key can never appear inside
+    // it — the substring-scanning parser stays unspoofable). Absent on
+    // schema-less lineages; the count terminator stays the document tail.
+    val schemaField = s.schemaJson.map(sj => s""""schema":${q(sj)},""").getOrElse("")
+    s"""{"v":2,"snapshot_id":${s.snapshotId},"parent_id":${s.parentId},"input":${q(s.inputSnapshot)},$schemaField"partitions":$parts,"count":${s.partitions.length}}"""
   }
 
   /** strict parse; ALL malformed-input failures (truncation mid-token, bad
@@ -1263,6 +1329,10 @@ object ManifestJson {
     val id = longAt(fieldPos("snapshot_id"))
     val parent = longAt(fieldPos("parent_id"))
     val (input, _) = stringAt(fieldPos("input"))
+    // optional schema (absent in pre-schema manifests); q()-escaping inside
+    // string values keeps this raw-key scan unspoofable (see render)
+    val schemaKey = json.indexOf("\"schema\":")
+    val schema = if (schemaKey >= 0) Some(stringAt(schemaKey + 9)._1) else None
     var i = fieldPos("partitions") + 1 // past '['
     val parts = Seq.newBuilder[PartitionManifest]
     while (json.indexOf("\"p\":", i) >= 0) {
@@ -1293,7 +1363,7 @@ object ManifestJson {
       val declared = longAt(fieldPos("count", i)) // i ≥ partitions-array start; escapes make a spoofed in-string key impossible
       require(declared == result.length, s"manifest count mismatch: declared $declared, parsed ${result.length}")
     }
-    Snapshot(id, parent, input, result)
+    Snapshot(id, parent, input, result, schema)
   }
 
   /** the document must END in the count terminator */

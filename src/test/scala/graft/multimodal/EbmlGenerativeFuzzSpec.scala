@@ -113,6 +113,29 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
     else sizedEl(rnd, Seq(PixelWidth, PixelHeight)(rnd.nextInt(2)), uintBytes(rndVal, rnd))
   }
 
+  // ---- CONTAINER decoys: a parsed container id in the WRONG parent. The
+  // walker must skip these by size like any unknown element — descending
+  // them would let the junk leaves inside overwrite the real metadata
+  // (the exact bug class a round-7 review found: unguarded container cases).
+
+  /** Info in a non-Segment parent, carrying junk TimecodeScale + Duration */
+  private def infoDecoy(rnd: scala.util.Random): Array[Byte] =
+    sizedEl(rnd, Info,
+      sizedEl(rnd, TimecodeScale, uintBytes(1L + rnd.nextInt(1000), rnd)) ++
+        sizedEl(rnd, Duration, f64(1.0 + rnd.nextInt(1000))))
+
+  /** TrackEntry outside Tracks, claiming to be a video track with junk dims */
+  private def trackEntryDecoy(rnd: scala.util.Random): Array[Byte] =
+    sizedEl(rnd, TrackEntry,
+      sizedEl(rnd, TrackType, uintBytes(1L, rnd)) ++
+        sizedEl(rnd, VideoEl,
+          sizedEl(rnd, PixelWidth, uintBytes(7777L, rnd)) ++
+            sizedEl(rnd, PixelHeight, uintBytes(8888L, rnd))))
+
+  /** Tracks inside Info (wrong parent), wrapping a junk video TrackEntry */
+  private def tracksDecoy(rnd: scala.util.Random): Array[Byte] =
+    sizedEl(rnd, Tracks, trackEntryDecoy(rnd))
+
   private def header(rnd: scala.util.Random): Array[Byte] =
     sizedEl(rnd, EbmlHeader, sizedEl(rnd, 0x4282L, "webm".getBytes("US-ASCII")))
 
@@ -146,7 +169,7 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
     val info = sizedEl(rnd, Info, sprinkle(
       sizedEl(rnd, TimecodeScale, uintBytes(scale, rnd)),
       sizedEl(rnd, Duration, durBytes)
-    ))
+    ) ++ (if (rnd.nextInt(3) == 0) tracksDecoy(rnd) else Array.emptyByteArray))
     def track(ttype: Long, tw: Int, th: Int): Array[Byte] = {
       val video =
         if (ttype == 1L) sizedEl(rnd, VideoEl, sprinkle(
@@ -154,7 +177,9 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
           sizedEl(rnd, PixelHeight, uintBytes(th.toLong, rnd))
         ))
         else Array.emptyByteArray
-      sizedEl(rnd, TrackEntry, sprinkle(sizedEl(rnd, TrackType, uintBytes(ttype, rnd)), video))
+      // an Info container nested in a TrackEntry must be skipped, not descended
+      val decoy = if (ttype == 1L && rnd.nextInt(3) == 0) infoDecoy(rnd) else Array.emptyByteArray
+      sizedEl(rnd, TrackEntry, sprinkle(sizedEl(rnd, TrackType, uintBytes(ttype, rnd)), video) ++ decoy)
     }
     var trackList = Array.empty[Byte]
     if (rnd.nextBoolean()) trackList ++= track(2L, 0, 0) // decoy audio first
@@ -170,6 +195,9 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
 
     var segKids = Array.empty[Byte]
     if (rnd.nextInt(3) == 0) segKids ++= decoyEl(rnd, atSegmentLevel = true)
+    // a TrackEntry at Segment level precedes the real Tracks — first-wins
+    // dim selection would lock onto its junk dims if the walker descended it
+    if (rnd.nextInt(3) == 0) segKids ++= trackEntryDecoy(rnd)
     segKids ++= info
     if (rnd.nextInt(3) == 0) segKids ++= junkEl(rnd)
     segKids ++= tracks
@@ -195,7 +223,7 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
     val benignKids = info(1000000L, f64(ms.toDouble)) ++ vtrack(w.toLong, h.toLong, wide = false)
     val benign = EbmlCodec.WebmMeta(w, h, ms, 1000000L)
 
-    rnd.nextInt(10) match {
+    rnd.nextInt(12) match {
       case 0 =>
         ("open-size-off-segment", header(rnd) ++ sizedEl(rnd, Segment, openEl(Info, Array.emptyByteArray) ++ benignKids), None)
       case 1 =>
@@ -225,6 +253,22 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
       case 8 =>
         // declared element size past the container end
         ("size-overrun", header(rnd) ++ sizedEl(rnd, Segment, idb(Info) ++ sizeVint(1 << 20, 3) ++ benignKids), None)
+      case 10 =>
+        // Info container nested in the video TrackEntry, carrying a junk
+        // Duration + TimecodeScale: must be skipped by size, never descended
+        val poisonedTrack = sizedEl(rnd, Tracks, sizedEl(rnd, TrackEntry,
+          sizedEl(rnd, TrackType, uintBytes(1L, rnd)) ++
+            sizedEl(rnd, VideoEl,
+              sizedEl(rnd, PixelWidth, uintBytes(w.toLong, rnd)) ++
+                sizedEl(rnd, PixelHeight, uintBytes(h.toLong, rnd))) ++
+            infoDecoy(rnd)))
+        ("wrong-parent-info-container", header(rnd) ++ sizedEl(rnd, Segment,
+          info(1000000L, f64(ms.toDouble)) ++ poisonedTrack), Some(benign))
+      case 11 =>
+        // TrackEntry at Segment level BEFORE the real Tracks: descending it
+        // would lock first-wins dim selection onto its 7777x8888 junk
+        ("segment-level-trackentry", header(rnd) ++ sizedEl(rnd, Segment,
+          trackEntryDecoy(rnd) ++ benignKids), Some(benign))
       case _ =>
         // wide-uint hostility inside an UNKNOWN element: skipped by size,
         // parses to exactly the benign answer
@@ -259,6 +303,7 @@ class EbmlGenerativeFuzzSpec extends AnyFunSuite {
       "open-size-off-segment", "zero-size-lead-byte", "uint-wider-than-8",
       "pixel-width-past-int", "illegal-float-width", "hostile-duration-value",
       "duration-times-scale-overflow", "nesting-bomb", "size-overrun",
+      "wrong-parent-info-container", "segment-level-trackentry",
       "hostile-interior-skipped"
     )
     assert(allKinds.subsetOf(seen.toSet), s"hostile kinds never generated: ${allKinds -- seen}")

@@ -99,6 +99,29 @@ class TableStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException](ManifestJson.parse(v2.replaceFirst(""""count":2""", """"count":1""")))
   }
 
+  test("full TTL drop + expiry to ZERO data files still reads as a typed empty table") {
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 2), "day", "in-1")
+    store.write(df("2024-01-02" -> 3), "day", "in-2")
+    store.dropPartitionsOlderThan(spark, "day", "2025-01-01", "ttl-all")
+    store.expireSnapshots(keepLast = 1)
+    // the precondition that used to crash the read: not one parquet remains,
+    // so nothing on disk can yield a schema — only the manifest can
+    val walked = Files.walk(Paths.get(base))
+    val residualParquet =
+      try walked.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally walked.close()
+    assert(residualParquet == 0, s"expiry should have deleted every data file, found $residualParquet")
+    val empty = store.read(spark)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("day", "seq", "value"),
+      s"empty read must keep the table's schema, got ${empty.columns.toSeq}")
+    // time travel to the retained (empty) snapshot answers with the same shape
+    val sid = store.currentSnapshot.get.snapshotId
+    assert(store.read(spark, sid).columns.toSet == Set("day", "seq", "value"))
+  }
+
   test("no strict prefix of a rendered manifest parses — truncation at ANY byte is rejected") {
     // the load-bearing guarantee behind the non-link commit fallback: a
     // reader racing a writer (or a crash-truncated file) must never see a
@@ -113,7 +136,16 @@ class TableStoreSpec extends SparkTestBase {
     assert(ManifestJson.parse(v2) == snap)
     val legacy = ("{" + v2.stripPrefix("{\"v\":2,")).replaceFirst(",\"count\":\\d+\\}$", "}")
     assert(ManifestJson.parse(legacy) == snap)
-    for (doc <- Seq(v2, legacy); i <- 1 until doc.length)
+    // schema-carrying manifest whose schema string ATTACKS the raw-key
+    // scanner (embedded "p":/"count":/"partitions": text, quotes,
+    // backslashes): q()-escaping must keep every field scan unspoofable,
+    // the roundtrip exact, and every strict prefix rejected
+    val hostileSchema =
+      """{"type":"struct","fields":[{"name":"p\"s\\q","x":"\"p\":1,\"count\":9}","y":"\"partitions\":[]"}]}"""
+    val withSchema = snap.copy(schemaJson = Some(hostileSchema))
+    val v2s = ManifestJson.render(withSchema)
+    assert(ManifestJson.parse(v2s) == withSchema)
+    for (doc <- Seq(v2, legacy, v2s); i <- 1 until doc.length)
       assert(scala.util.Try(ManifestJson.parse(doc.substring(0, i))).isFailure,
         s"prefix of length $i parsed as a valid manifest: ${doc.substring(0, i)}")
   }
@@ -447,6 +479,29 @@ class TableStoreSpec extends SparkTestBase {
     Files.writeString(lock, "pid=1 op=x nonce=superseder")
     Files.setLastModifiedTime(lock, stale)
     store.compactLineageLedger() // steals, runs, releases its OWN lease
+    assert(!Files.exists(lock))
+  }
+
+  test("fencing-state IO failure at acquisition releases the lock instead of orphaning it") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x")
+    store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
+    val mdir = Paths.get(s"$base/tier_x/_manifests")
+    val lock = mdir.resolve("maintenance.lock")
+    // make maintenance.generation an unwritable TARGET: a non-empty directory
+    // fails persistGeneration's atomic move with an IOException — at a point
+    // where the lock file is already on disk (readGeneration tolerates the
+    // directory and reads 0, so acquisition itself succeeds)
+    val genPath = mdir.resolve("maintenance.generation")
+    Files.createDirectories(genPath.resolve("x"))
+    intercept[java.io.IOException](store.expireSnapshots(keepLast = 1))
+    assert(!Files.exists(lock), "a failed fencing write must release the lock, not orphan it until TTL")
+    val residue = Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".tmp-gen-")).toList
+    assert(residue.isEmpty, s"leaked generation staging files: $residue")
+    // the table recovers as soon as the obstruction is gone — no TTL wait
+    Files.delete(genPath.resolve("x")); Files.delete(genPath)
+    assert(store.expireSnapshots(keepLast = 1) >= 0)
     assert(!Files.exists(lock))
   }
 
