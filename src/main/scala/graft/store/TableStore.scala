@@ -50,13 +50,15 @@ final case class Snapshot(
     parentId: Long, // -1 = none
     inputSnapshot: String, // lineage: identifier of the input this was built from
     partitions: Seq[PartitionManifest],
-    // Spark StructType.json of the table as READ BACK at commit time
-    // (Iceberg stores schemas in metadata for the same reason): it is the
-    // ONLY schema source once a full TTL drop + expiry leaves zero data
-    // files on disk — without it an empty-table read of such a table has
-    // nothing to infer from and throws UNABLE_TO_INFER_SCHEMA (found by the
-    // round-7 widened store fuzz, seed 27). None on data-less commits
-    // (propagated from the parent) and on pre-schema manifests.
+    // Spark StructType.json of the commit's data as READ BACK, reconciled
+    // against the parent's schema (void-typed fields — an all-null-partition
+    // delta — take the parent's type, see reconcileSchema). Iceberg stores
+    // schemas in metadata for the same reason: it is the ONLY schema source
+    // once a full TTL drop + expiry leaves zero data files on disk — without
+    // it an empty-table read of such a table has nothing to infer from and
+    // throws UNABLE_TO_INFER_SCHEMA (found by the round-7 widened store
+    // fuzz, seed 27). None on data-less commits with no parent schema and
+    // on pre-schema manifests.
     schemaJson: Option[String] = None
 )
 
@@ -303,8 +305,7 @@ final class TableStore(
       sweepStaleStagedLedgers(gen)
     } catch {
       case scala.util.control.NonFatal(e) =>
-        try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
-        catch { case _: java.io.IOException => () }
+        releaseLockIfOurs(body)
         throw e
     }
     currentLeaseBody.set(Some(body))
@@ -313,13 +314,18 @@ final class TableStore(
     finally {
       currentLeaseBody.set(None)
       currentLeaseGen.set(0L)
-      // content-checked delete: never remove a superseder's lease. The
-      // read→delete gap is microseconds and only reachable after a TTL
-      // overrun (see caveat above).
-      try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
-      catch { case _: java.io.IOException => () } // superseded after TTL overrun, or already gone
+      releaseLockIfOurs(body)
     }
   }
+
+  /** content-checked lease release: never remove a superseder's lease. The
+    * read→delete gap is microseconds and only reachable after a TTL overrun
+    * (see the caveat on withMaintenanceLock). IOException = superseded after
+    * a TTL overrun, or already gone — nothing to release either way.
+    */
+  private def releaseLockIfOurs(body: String): Unit =
+    try if (Files.readString(maintenanceLockPath) == body) Files.delete(maintenanceLockPath)
+    catch { case _: java.io.IOException => () }
 
   // the lease body THIS THREAD holds while inside withMaintenanceLock.
   // ThreadLocal, not an instance field: after a TTL overrun a second thread
@@ -945,6 +951,36 @@ final class TableStore(
       .toSeq -> Some(onDisk.schema.json)
   }
 
+  /** The schema a commit RECORDS, reconciled against the parent's. The
+    * fresh schema comes from the commit's DELTA files only (hashFiles), and
+    * a delta whose partition-dir values are all the null placeholder infers
+    * the partition column as VOID (NullType) — the same inference quirk the
+    * compaction path re-types before writing. Recording void verbatim would
+    * poison the manifest schema: an empty-table read materialized from it
+    * could never union with typed batches or be re-written partitionBy. Per
+    * field: a void-typed fresh field takes the parent's type for that field
+    * when the parent has one, else string (null is representable in any of
+    * these; string mirrors the compaction re-type). Non-void fresh fields
+    * win — the newest data's read-back shape is the table's shape.
+    */
+  private def reconcileSchema(fresh: Option[String], parentSchema: Option[String]): Option[String] = {
+    import org.apache.spark.sql.types.{DataType, NullType, StringType, StructType}
+    fresh match {
+      case None => parentSchema
+      case Some(fj) =>
+        val fs = DataType.fromJson(fj).asInstanceOf[StructType]
+        if (!fs.fields.exists(_.dataType == NullType)) Some(fj)
+        else {
+          val ps = parentSchema.map(pj => DataType.fromJson(pj).asInstanceOf[StructType])
+          val fixed = StructType(fs.fields.map { f =>
+            if (f.dataType != NullType) f
+            else f.copy(dataType = ps.flatMap(p => p.fields.find(_.name == f.name)).map(_.dataType).getOrElse(StringType))
+          })
+          Some(fixed.json)
+        }
+    }
+  }
+
   /** Atomic commit point (Iceberg CAS, filesystem realization): compute the
     * manifest against the CURRENT parent via `merge`, then claim the next
     * snapshot file with CREATE_NEW. If another committer claimed it first,
@@ -985,7 +1021,7 @@ final class TableStore(
       }
       val parentSnap = currentSnapshot
       val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
-      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap), schema.orElse(parentSnap.flatMap(_.schemaJson)))
+      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap), reconcileSchema(schema, parentSnap.flatMap(_.schemaJson)))
       // The claim must be atomic in CONTENT, not just in name: a bare
       // CREATE_NEW + write publishes an empty/partial file that concurrent
       // readers could parse (or, after a crash mid-write, wedges the table

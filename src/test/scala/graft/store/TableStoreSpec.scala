@@ -117,9 +117,40 @@ class TableStoreSpec extends SparkTestBase {
     assert(empty.count() == 0)
     assert(empty.columns.toSet == Set("day", "seq", "value"),
       s"empty read must keep the table's schema, got ${empty.columns.toSeq}")
+    // TYPES too, not just names: the recorded schema is the read-back shape
+    // (partition col inferred DATE from the dir values), never void
+    assert(empty.schema("day").dataType == org.apache.spark.sql.types.DateType,
+      s"day must keep its read-back type, got ${empty.schema("day").dataType}")
+    assert(empty.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
     // time travel to the retained (empty) snapshot answers with the same shape
     val sid = store.currentSnapshot.get.snapshotId
     assert(store.read(spark, sid).columns.toSet == Set("day", "seq", "value"))
+  }
+
+  test("an all-null-partition delta must not poison the manifest schema with VOID") {
+    val s = spark
+    import s.implicits._
+    val base = tmp()
+    val store = new TableStore(base, "t")
+    store.write(df("2024-01-01" -> 2), "day", "in-1")
+    // append touching ONLY the null partition: the delta's read-back infers
+    // the partition column as NullType — reconciliation must keep the
+    // parent's type, not record void
+    val nullOnly = Seq((Option.empty[String], 9L, 9.0)).toDF("day", "seq", "value")
+    store.write(nullOnly, "day", "in-null", append = true)
+    val schemaJson = store.currentSnapshot.get.schemaJson.get
+    assert(!schemaJson.contains("\"void\"") && !schemaJson.contains("\"null\""),
+      s"manifest schema must never record a void field: $schemaJson")
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st("day").dataType == org.apache.spark.sql.types.DateType,
+      s"null-only delta must take the parent's day type, got ${st("day").dataType}")
+    // a null-only FIRST write (no parent schema): void falls back to string
+    val store2 = new TableStore(tmp(), "t2")
+    store2.write(nullOnly, "day", "first-null")
+    val sj2 = store2.currentSnapshot.get.schemaJson.get
+    val st2 = org.apache.spark.sql.types.DataType.fromJson(sj2).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st2("day").dataType == org.apache.spark.sql.types.StringType,
+      s"null-only first write must record string for the partition col, got ${st2("day").dataType}")
   }
 
   test("no strict prefix of a rendered manifest parses — truncation at ANY byte is rejected") {
@@ -496,8 +527,10 @@ class TableStoreSpec extends SparkTestBase {
     Files.createDirectories(genPath.resolve("x"))
     intercept[java.io.IOException](store.expireSnapshots(keepLast = 1))
     assert(!Files.exists(lock), "a failed fencing write must release the lock, not orphan it until TTL")
-    val residue = Files.list(mdir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith(".tmp-gen-")).toList
+    val listing = Files.list(mdir)
+    val residue =
+      try listing.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".tmp-gen-")).toList
+      finally listing.close()
     assert(residue.isEmpty, s"leaked generation staging files: $residue")
     // the table recovers as soon as the obstruction is gone — no TTL wait
     Files.delete(genPath.resolve("x")); Files.delete(genPath)
