@@ -958,26 +958,41 @@ final class TableStore(
     * compaction path re-types before writing. Recording void verbatim would
     * poison the manifest schema: an empty-table read materialized from it
     * could never union with typed batches or be re-written partitionBy. Per
-    * field: a void-typed fresh field takes the parent's type for that field
-    * when the parent has one, else string (null is representable in any of
-    * these; string mirrors the compaction re-type). Non-void fresh fields
-    * win — the newest data's read-back shape is the table's shape.
+    * field: a void-typed field takes the parent's NON-void type for that
+    * field when the parent has one, else string (null is representable in
+    * any of these; string mirrors the compaction re-type). Non-void fresh
+    * fields win — the newest data's read-back shape is the table's shape.
+    *
+    * The invariant "a recorded schema never contains NullType" is enforced
+    * on EVERY output path, including the fresh=None parent-propagation case
+    * and the parent-field lookup: a manifest poisoned by a pre-reconcile
+    * build is healed at the next commit instead of propagated forever.
+    *
+    * Known imprecision (migration-only): a PRE-schema parent (schemaJson
+    * absent everywhere in the lineage) gives a void field the blanket
+    * string fallback even when the parent's still-live typed data files
+    * could infer the true type. Reading parquet footers at commit time to
+    * recover it would put a table scan on every commit's hot path — not
+    * worth it for a case that only exists while migrating manifests written
+    * before the schema feature; the mistyped field fails loudly (union /
+    * partitionBy AnalysisException), never silently corrupts.
     */
   private def reconcileSchema(fresh: Option[String], parentSchema: Option[String]): Option[String] = {
     import org.apache.spark.sql.types.{DataType, NullType, StringType, StructType}
-    fresh match {
-      case None => parentSchema
-      case Some(fj) =>
-        val fs = DataType.fromJson(fj).asInstanceOf[StructType]
-        if (!fs.fields.exists(_.dataType == NullType)) Some(fj)
-        else {
-          val ps = parentSchema.map(pj => DataType.fromJson(pj).asInstanceOf[StructType])
-          val fixed = StructType(fs.fields.map { f =>
-            if (f.dataType != NullType) f
-            else f.copy(dataType = ps.flatMap(p => p.fields.find(_.name == f.name)).map(_.dataType).getOrElse(StringType))
-          })
-          Some(fixed.json)
-        }
+    def parse(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+    val ps = parentSchema.map(parse)
+    fresh.orElse(parentSchema).map { j =>
+      val st = parse(j)
+      if (!st.fields.exists(_.dataType == NullType)) j
+      else
+        StructType(st.fields.map { f =>
+          if (f.dataType != NullType) f
+          else
+            f.copy(dataType =
+              ps.flatMap(_.fields.find(pf => pf.name == f.name && pf.dataType != NullType))
+                .map(_.dataType)
+                .getOrElse(StringType))
+        }).json
     }
   }
 

@@ -153,6 +153,45 @@ class TableStoreSpec extends SparkTestBase {
       s"null-only first write must record string for the partition col, got ${st2("day").dataType}")
   }
 
+  test("a manifest poisoned with VOID by a pre-reconcile build is healed at the next commit") {
+    import org.apache.spark.sql.types.{DataType, NullType, StringType, StructType}
+    val s = spark
+    import s.implicits._
+    def poisonCurrent(base: String, store: TableStore): Unit = {
+      // simulate a manifest written by the build that recorded delta
+      // schemas verbatim: rewrite the CURRENT snapshot file with day=void
+      val cur = store.currentSnapshot.get
+      val st = DataType.fromJson(cur.schemaJson.get).asInstanceOf[StructType]
+      val voided = StructType(st.fields.map(f => if (f.name == "day") f.copy(dataType = NullType) else f))
+      val path = Paths.get(f"$base/t/_manifests/snapshot-${cur.snapshotId}%09d.json")
+      Files.writeString(path, ManifestJson.render(cur.copy(schemaJson = Some(voided.json))))
+      assert(store.currentSnapshot.get.schemaJson.get.contains("\"void\""), "poisoning precondition")
+    }
+    // (a) fresh=None parent propagation (metadata-only commit) must sanitize,
+    // not copy the poisoned parent schema forward verbatim
+    val base1 = tmp()
+    val store1 = new TableStore(base1, "t")
+    store1.write(df("2024-01-01" -> 2), "day", "in-1")
+    poisonCurrent(base1, store1)
+    store1.dropPartitionsOlderThan(spark, "day", "2020-01-01", "noop-ttl") // drops nothing, schema=None
+    val healed1 = store1.currentSnapshot.get.schemaJson.get
+    assert(!healed1.contains("\"void\"") && !healed1.contains("\"null\""),
+      s"metadata-only commit must heal a poisoned parent schema: $healed1")
+    assert(DataType.fromJson(healed1).asInstanceOf[StructType]("day").dataType == StringType,
+      "a poisoned field with no recoverable parent type heals to string")
+    // (b) a void fresh field must NOT adopt the parent's field when that
+    // field is itself void — the string fallback applies, never NullType
+    val base2 = tmp()
+    val store2 = new TableStore(base2, "t")
+    store2.write(df("2024-01-01" -> 2), "day", "in-1")
+    poisonCurrent(base2, store2)
+    store2.write(Seq((Option.empty[String], 9L, 9.0)).toDF("day", "seq", "value"), "day", "in-null", append = true)
+    val healed2 = store2.currentSnapshot.get.schemaJson.get
+    assert(!healed2.contains("\"void\"") && !healed2.contains("\"null\""),
+      s"null-only append over a poisoned parent must not re-record void: $healed2")
+    assert(DataType.fromJson(healed2).asInstanceOf[StructType]("day").dataType == StringType)
+  }
+
   test("no strict prefix of a rendered manifest parses — truncation at ANY byte is rejected") {
     // the load-bearing guarantee behind the non-link commit fallback: a
     // reader racing a writer (or a crash-truncated file) must never see a
