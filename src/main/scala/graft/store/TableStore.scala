@@ -966,33 +966,46 @@ final class TableStore(
     * The invariant "a recorded schema never contains NullType" is enforced
     * on EVERY output path, including the fresh=None parent-propagation case
     * and the parent-field lookup: a manifest poisoned by a pre-reconcile
-    * build is healed at the next commit instead of propagated forever.
+    * build is healed at the next commit instead of propagated forever. When
+    * the PARENT's own field is void (the poisoned-manifest case) the heal
+    * consults the retained LINEAGE, newest first — older manifests still
+    * carry the field's true type, and a metadata-only commit then recovers
+    * it instead of blanket-falling to string (found by the round-7 fuzz's
+    * poison op: a TTL no-op over a poisoned parent mistyped a long column
+    * as string). Lazy: the lineage is re-read from disk ONLY when a void
+    * field survives the parent lookup — never on the commit hot path. A
+    * stale type cannot be resurrected this way: a legitimately re-typed
+    * field is non-void in the immediate parent, so the walk never runs.
     *
-    * Known imprecision (migration-only): a PRE-schema parent (schemaJson
-    * absent everywhere in the lineage) gives a void field the blanket
-    * string fallback even when the parent's still-live typed data files
-    * could infer the true type. Reading parquet footers at commit time to
-    * recover it would put a table scan on every commit's hot path — not
-    * worth it for a case that only exists while migrating manifests written
-    * before the schema feature; the mistyped field fails loudly (union /
-    * partitionBy AnalysisException), never silently corrupts.
+    * Known imprecision (migration-only): a PRE-schema lineage (schemaJson
+    * absent everywhere) gives a void field the blanket string fallback even
+    * when still-live typed data files could infer the true type. Reading
+    * parquet footers at commit time to recover it would put a table scan on
+    * every commit's hot path — not worth it for a case that only exists
+    * while migrating manifests written before the schema feature; the
+    * mistyped field fails loudly (union / partitionBy AnalysisException),
+    * never silently corrupts.
     */
-  private def reconcileSchema(fresh: Option[String], parentSchema: Option[String]): Option[String] = {
+  private def reconcileSchema(
+      fresh: Option[String],
+      parentSchema: Option[String],
+      lineageSchemas: => Iterator[String] // newest-first retained manifest schemas
+  ): Option[String] = {
     import org.apache.spark.sql.types.{DataType, NullType, StringType, StructType}
     def parse(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
     val ps = parentSchema.map(parse)
+    lazy val ancestors = lineageSchemas.map(parse).toSeq // parsed ONLY on a failed parent lookup
+    def nonVoid(st: StructType, name: String): Option[org.apache.spark.sql.types.DataType] =
+      st.fields.find(pf => pf.name == name && pf.dataType != NullType).map(_.dataType)
+    def resolve(name: String): org.apache.spark.sql.types.DataType =
+      ps.flatMap(nonVoid(_, name)) match {
+        case Some(t) => t
+        case None    => ancestors.iterator.flatMap(nonVoid(_, name)).nextOption().getOrElse(StringType)
+      }
     fresh.orElse(parentSchema).map { j =>
       val st = parse(j)
       if (!st.fields.exists(_.dataType == NullType)) j
-      else
-        StructType(st.fields.map { f =>
-          if (f.dataType != NullType) f
-          else
-            f.copy(dataType =
-              ps.flatMap(_.fields.find(pf => pf.name == f.name && pf.dataType != NullType))
-                .map(_.dataType)
-                .getOrElse(StringType))
-        }).json
+      else StructType(st.fields.map(f => if (f.dataType != NullType) f else f.copy(dataType = resolve(f.name)))).json
     }
   }
 
@@ -1036,7 +1049,13 @@ final class TableStore(
       }
       val parentSnap = currentSnapshot
       val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
-      val snap = Snapshot(parent + 1, parent, inputSnapshot, merge(parentSnap), reconcileSchema(schema, parentSnap.flatMap(_.schemaJson)))
+      val snap = Snapshot(
+        parent + 1,
+        parent,
+        inputSnapshot,
+        merge(parentSnap),
+        reconcileSchema(schema, parentSnap.flatMap(_.schemaJson), snapshots.reverseIterator.flatMap(_.schemaJson))
+      )
       // The claim must be atomic in CONTENT, not just in name: a bare
       // CREATE_NEW + write publishes an empty/partial file that concurrent
       // readers could parse (or, after a crash mid-write, wedges the table

@@ -95,6 +95,26 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
             s"seed $seed after $opDesc: manifest rows for ${p.partition} = ${p.rows}, model ${model(p.partition).size}")
         val back = readBack(store.read(spark))
         assert(back == expected(model.toMap), s"seed $seed after $opDesc: read-back $back != model ${expected(model.toMap)}")
+        // manifest-schema invariant (round 7): after the seed write every
+        // current snapshot carries a schema, it never contains NullType (a
+        // null-only-partition delta infers VOID; reconcileSchema must heal
+        // it against the parent in EVERY interleaving this fuzz reaches),
+        // and the column types are exactly the table's real shape
+        import org.apache.spark.sql.types.{DataType, DateType, LongType, StringType, StructType}
+        val sj = store.currentSnapshot.flatMap(_.schemaJson)
+        assert(sj.nonEmpty, s"seed $seed after $opDesc: current snapshot carries no manifest schema")
+        assert(!sj.get.contains("\"void\""),
+          s"seed $seed after $opDesc: manifest schema carries NullType: ${sj.get}")
+        val st = DataType.fromJson(sj.get).asInstanceOf[StructType]
+        // day is DATE when the read-back's partition-type inference saw real
+        // 2024-01-dd dir values (what every reader of those files sees), and
+        // STRING via the null-only / healed-void fallback; v is LONG except
+        // after a poison+heal whose typed ancestors were all expired (the
+        // string fallback — the poison op itself asserts exact recovery
+        // whenever a typed ancestor was retained). Void never is legitimate.
+        assert(Set[org.apache.spark.sql.types.DataType](StringType, DateType)(st("day").dataType) &&
+          Set[org.apache.spark.sql.types.DataType](LongType, StringType)(st("v").dataType),
+          s"seed $seed after $opDesc: manifest schema types drifted: ${sj.get}")
       }
 
       for (k <- 0 until 12) {
@@ -171,6 +191,47 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
             val keep = 1 + rnd.nextInt(3)
             store.expireSnapshots(keepLast = keep)
             check(s"op$k expire(keepLast=$keep)")
+          case r if r < 97 => // poison the manifest schema on disk (a pre-reconcile
+            // build's verbatim VOID record), then heal via the next commit —
+            // interleaved with every other op class, unlike the curated spec
+            import org.apache.spark.sql.types.{DataType, NullType, StructType}
+            val cur = store.currentSnapshot.get
+            val poisonCol = if (rnd.nextBoolean()) "day" else "v"
+            val st = DataType.fromJson(cur.schemaJson.get).asInstanceOf[StructType]
+            val voided = StructType(st.fields.map(f => if (f.name == poisonCol) f.copy(dataType = NullType) else f))
+            val path = java.nio.file.Paths.get(f"$base/tier_fz/_manifests/snapshot-${cur.snapshotId}%09d.json")
+            java.nio.file.Files.writeString(path, ManifestJson.render(cur.copy(schemaJson = Some(voided.json))))
+            assert(store.currentSnapshot.get.schemaJson.get.contains("\"void\""), s"seed $seed op$k: poisoning precondition")
+            // is the true type recoverable? = some RETAINED ancestor still
+            // carries the field non-void (the poisoned current does not)
+            val recoverable = store.snapshots.exists(_.schemaJson.exists { j =>
+              DataType.fromJson(j).asInstanceOf[StructType].fields
+                .exists(f => f.name == poisonCol && f.dataType != NullType)
+            })
+            // heal path drawn at random: a metadata-only commit (propagates +
+            // sanitizes the parent schema) or a fresh append (delta read-back
+            // wins; its non-void fields override the poisoned parent's)
+            if (rnd.nextBoolean()) {
+              val snap = store.dropPartitionsOlderThan(spark, "day", "1900-01-01", lineage) // drops nothing
+              lineageIds += lineage
+              recordCommit(snap)
+              check(s"op$k poison($poisonCol)+heal(metadata-only)")
+              // a retained typed ancestor ⇒ the lineage walk recovers the
+              // EXACT type, never the blanket string fallback
+              if (recoverable && poisonCol == "v") {
+                val healed = DataType.fromJson(store.currentSnapshot.get.schemaJson.get).asInstanceOf[StructType]
+                assert(healed("v").dataType == org.apache.spark.sql.types.LongType,
+                  s"seed $seed op$k: recoverable poisoned v healed to ${healed("v").dataType}, not long")
+              }
+            } else {
+              val days = pickDays(1)
+              val rows = days.flatMap(d => freshValues(1 + rnd.nextInt(3)).map(d -> _))
+              val snap = store.write(mkDf(rows), "day", lineage, append = true)
+              lineageIds += lineage
+              days.foreach(d => model(d) = model.getOrElse(d, Vector.empty) ++ rows.filter(_._1 == d).map(_._2))
+              recordCommit(snap)
+              check(s"op$k poison($poisonCol)+heal(append)")
+            }
           case _ => // a full Maintain cycle (ttl + compact + expire + wm GC at default age)
             val cutoff = DayPool(rnd.nextInt(DayPool.size - 1))
             graft.jobs.Maintain.run(spark, base, "fz", maxFiles = 2, keepSnapshots = 2, ttlCutoff = Some(cutoff))
