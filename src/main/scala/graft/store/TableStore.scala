@@ -218,8 +218,9 @@ final class TableStore(
     *  - the LEDGER REWRITE (the one wrong-METADATA path: a zombie's
     *    REPLACE_EXISTING move could overwrite a superseder's fresh append)
     *    is generation-fenced. Every acquisition claims a monotonically
-    *    increasing generation (persisted in `maintenance.generation`,
-    *    embedded in the lock body), sweeps staged `.tmp-ledger-g<k>-*`
+    *    increasing generation (an atomic write-once `maintenance.gen-<k>`
+    *    marker claimed BEFORE the lock file is written, embedded in the
+    *    lock body), sweeps staged `.tmp-ledger-g<k>-*`
     *    files of every OLDER generation BEFORE its first mutation, and
     *    stages its own rewrite under its generation. A displaced zombie's
     *    final move therefore fails loudly (its staged source was
@@ -251,11 +252,20 @@ final class TableStore(
     var acquired = false
     var body = ""
     var gen = 0L
+    // defense in depth for bodies whose generation has NO marker (a lock
+    // written by the earlier round-7 cut that stalled before its separate
+    // persist): any generation we ever OBSERVE in a lock body floors our
+    // own claim, so even a marker-less zombie cannot be duplicated
+    var bodyFloor = 0L
     while (!acquired) {
-      // generation claimed PER ATTEMPT: a lost CREATE_NEW race means another
-      // holder may have persisted this number — re-read so ours stays strictly
-      // above every prior holder's (gaps are fine, regressions are not)
-      gen = readGeneration() + 1
+      // generation claimed PER ATTEMPT, and claimed ATOMICALLY (CREATE_NEW
+      // marker) BEFORE the lock file is written: the moment a lock carrying
+      // gen k exists, marker k is already durably visible, so any stealer's
+      // claim reads ≥ k and returns strictly above it — duplicate
+      // generations are structurally impossible (see the fencing scaladoc).
+      // A lost lock race strands the attempt's marker until GC — gaps are
+      // fine, regressions are not.
+      gen = claimGeneration(bodyFloor)
       body = s"pid=${ProcessHandle.current().pid()} op=$op gen=$gen nonce=${java.util.UUID.randomUUID()}"
       try {
         Files.writeString(maintenanceLockPath, body, StandardOpenOption.CREATE_NEW)
@@ -277,6 +287,7 @@ final class TableStore(
               case _: java.io.IOException =>
                 throw new MaintenanceLockHeld(s"maintenance lock on $table unreadable — treating as held")
             }
+          observedBody.foreach(b => bodyFloor = math.max(bodyFloor, lockBodyGen(b)))
           val ageMs =
             if (observedBody.isEmpty) -1L
             else
@@ -290,19 +301,19 @@ final class TableStore(
       }
     }
     // ORDER IS LOAD-BEARING (the fencing proof in the scaladoc above):
-    // 1. persist OUR generation — every later acquirer now reads ≥ gen, so a
-    //    live zombie's staged files always carry a generation strictly below
-    //    its successor's (a zombie stages only AFTER this line ran);
-    // 2. invalidate older generations' staged ledger rewrites — BEFORE this
-    //    holder's first mutation, so "successor mutated" implies "zombie's
-    //    staged file already swept" in every interleaving.
+    // our generation was durably claimed BEFORE the lock write (CREATE_NEW
+    // marker — every later acquirer reads ≥ gen, so a live zombie's staged
+    // files always carry a generation strictly below its successor's), and
+    // the sweep invalidating older generations' staged ledger rewrites runs
+    // BEFORE this holder's first mutation, so "successor mutated" implies
+    // "zombie's staged file already swept" in every interleaving.
     // fencing-state IO runs AFTER acquisition but BEFORE the try/finally
-    // that releases the lock — a failure here (ENOSPC on the generation
-    // file, a racing delete) must release the freshly-written lock instead
-    // of orphaning it until TTL for every other maintenance writer
+    // that releases the lock — a failure here (an unlistable manifest dir)
+    // must release the freshly-written lock instead of orphaning it until
+    // TTL for every other maintenance writer
     try {
-      persistGeneration(gen)
       sweepStaleStagedLedgers(gen)
+      gcGenerationMarkers(gen)
     } catch {
       case scala.util.control.NonFatal(e) =>
         releaseLockIfOurs(body)
@@ -344,28 +355,65 @@ final class TableStore(
   private val currentLeaseGen: ThreadLocal[Long] = ThreadLocal.withInitial(() => 0L)
 
   // ---- lease generation fencing ----------------------------------------------
-  // `maintenance.generation` holds the last generation any holder claimed.
-  // Written ONLY at lease acquisition (single writer by construction, modulo
-  // the zombie cases the fencing itself covers), read at every acquisition
-  // attempt. A missing/garbled file reads as 0 — the next holder claims 1.
+  // Generations are claimed as WRITE-ONCE marker files `maintenance.gen-<k>`
+  // via CREATE_NEW: the claim and its persistence are ONE atomic operation.
+  // (The first round-7 cut wrote a single mutable `maintenance.generation`
+  // file AFTER lock acquisition; a holder stalling between lock-write and
+  // that persist could be stolen by a successor that re-read the old value
+  // and claimed the SAME number — a duplicate generation un-fences the
+  // ledger rewrite. Markers close that structurally: a claim that other
+  // claimants cannot see does not exist.) readGeneration = max marker, plus
+  // the legacy file's value for manifests written by the earlier cut —
+  // read-only migration, never written again. Invariant: a lock body
+  // carrying gen k implies marker k exists (claimed BEFORE the lock file is
+  // written) or some marker > k exists (GC removes only markers below the
+  // claimant's own, never the max) — either way every later claim reads
+  // ≥ k and returns > k. Gaps are fine (a lost lock race or a thrown
+  // contention error strands its marker until GC); regressions are
+  // impossible (markers are never rewritten, only created).
 
-  private def generationPath = manifestDir.resolve("maintenance.generation")
+  private val genMarkerPrefix = "maintenance.gen-"
 
-  private def readGeneration(): Long =
-    try Files.readString(generationPath).trim.toLongOption.getOrElse(0L)
-    catch { case _: java.io.IOException => 0L }
+  private def markerGen(name: String): Option[Long] =
+    if (name.startsWith(genMarkerPrefix)) name.drop(genMarkerPrefix.length).toLongOption else None
 
-  private def persistGeneration(gen: Long): Unit = {
-    val tmp = manifestDir.resolve(s".tmp-gen-${java.util.UUID.randomUUID()}")
-    try {
-      Files.writeString(tmp, gen.toString)
-      Files.move(tmp, generationPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally {
-      // a failed write/move must not leak its staging file (no sweep covers .tmp-gen-*)
-      try Files.deleteIfExists(tmp)
+  private def readGeneration(): Long = {
+    val markers = listDir(manifestDir)(_.flatMap(p => markerGen(p.getFileName.toString)).toSeq)
+    val legacy =
+      try Files.readString(manifestDir.resolve("maintenance.generation")).trim.toLongOption.getOrElse(0L)
+      catch { case _: java.io.IOException => 0L }
+    (markers :+ legacy).max
+  }
+
+  /** the generation a lock body declares; 0 for legacy (pre-fencing) bodies */
+  private def lockBodyGen(body: String): Long =
+    body.split(' ').collectFirst { case s if s.startsWith("gen=") => s.drop(4).toLongOption.getOrElse(0L) }.getOrElse(0L)
+
+  /** atomically claim the next free generation above `floor`. A squatter on
+    * a marker name (or a concurrent claimant) just bumps the number —
+    * claiming never destroys or rewrites anything.
+    */
+  private def claimGeneration(floor: Long): Long = {
+    var g = math.max(readGeneration(), floor) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.writeString(manifestDir.resolve(s"$genMarkerPrefix$g"), "", StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch { case _: FileAlreadyExistsException => g += 1 }
+    }
+    g
+  }
+
+  /** GC markers strictly below `gen`. OURS (= the max as of our claim)
+    * always survives, so readGeneration never regresses. Per-file
+    * best-effort: a straggler marker costs bytes, never correctness.
+    */
+  private def gcGenerationMarkers(gen: Long): Unit =
+    listDir(manifestDir)(_.filter(p => markerGen(p.getFileName.toString).exists(_ < gen)).toSeq).foreach { p =>
+      try Files.deleteIfExists(p)
       catch { case _: java.io.IOException => () }
     }
-  }
 
   /** generation of a staged ledger-rewrite file: `.tmp-ledger-g<k>-<uuid>`
     * → k; the legacy unversioned form `.tmp-ledger-<uuid>` (pre-fencing
@@ -381,7 +429,7 @@ final class TableStore(
     * the displaced holder's final atomic move then fails on its vanished
     * source instead of overwriting this holder's (or a later one's) fresh
     * appends. ONLY `.tmp-ledger-*` files: commit-path `.tmp-*.json`,
-    * watermark `.tmp-wm-*` and generation `.tmp-gen-*` staging are
+    * watermark `.tmp-wm-*` staging and `maintenance.gen-*` markers are
     * different protocols and are never touched here.
     */
   private def sweepStaleStagedLedgers(gen: Long): Unit =

@@ -552,28 +552,53 @@ class TableStoreSpec extends SparkTestBase {
     assert(!Files.exists(lock))
   }
 
-  test("fencing-state IO failure at acquisition releases the lock instead of orphaning it") {
+  test("hostile generation state cannot wedge acquisition or regress the counter") {
     val base = tmp()
     val store = new TableStore(base, "tier_x")
     store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
     val mdir = Paths.get(s"$base/tier_x/_manifests")
     val lock = mdir.resolve("maintenance.lock")
-    // make maintenance.generation an unwritable TARGET: a non-empty directory
-    // fails persistGeneration's atomic move with an IOException — at a point
-    // where the lock file is already on disk (readGeneration tolerates the
-    // directory and reads 0, so acquisition itself succeeds)
-    val genPath = mdir.resolve("maintenance.generation")
-    Files.createDirectories(genPath.resolve("x"))
-    intercept[java.io.IOException](store.expireSnapshots(keepLast = 1))
-    assert(!Files.exists(lock), "a failed fencing write must release the lock, not orphan it until TTL")
-    val listing = Files.list(mdir)
-    val residue =
-      try listing.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".tmp-gen-")).toList
-      finally listing.close()
-    assert(residue.isEmpty, s"leaked generation staging files: $residue")
-    // the table recovers as soon as the obstruction is gone — no TTL wait
-    Files.delete(genPath.resolve("x")); Files.delete(genPath)
+    // squatters on marker names: a non-empty DIRECTORY named like a marker
+    // (counts toward the max by name — claims land above it, never inside
+    // it) and an unparseable marker name (ignored). The old single-file
+    // design could be wedged by a directory squatting the write target;
+    // write-once markers just claim the next free number.
+    Files.createDirectories(mdir.resolve("maintenance.gen-7").resolve("x"))
+    Files.writeString(mdir.resolve("maintenance.gen-notanumber"), "")
     assert(store.expireSnapshots(keepLast = 1) >= 0)
+    assert(!Files.exists(lock), "lease released after the op")
+    val listing = Files.list(mdir)
+    val markers =
+      try listing.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("maintenance.gen-")).toSet
+      finally listing.close()
+    assert(markers.contains("maintenance.gen-8"), s"claim must land above the squatting 7: $markers")
+    // GC's deleteIfExists on the non-empty squatter dir throws — swallowed
+    // per-file, never fatal; the unparseable name is outside the protocol
+    // and must not be touched at all
+    assert(markers.contains("maintenance.gen-notanumber"), s"unparseable names must be left alone: $markers")
+  }
+
+  test("a stale lock whose generation has NO marker (stall-before-persist zombie) is never duplicated") {
+    val base = tmp()
+    val store = new TableStore(base, "tier_x", maintenanceLockTtlMs = 50L)
+    store.write(df("2024-01-01" -> 2), "day", "stream-q-batch-0", append = true)
+    store.expireSnapshots(keepLast = 10) // rolls nothing, claims gen 1
+    val mdir = Paths.get(s"$base/tier_x/_manifests")
+    val lock = mdir.resolve("maintenance.lock")
+    // the hazard the marker design closes: a holder wrote its lock (gen=7
+    // embedded) but died before any separate persist made 7 visible — under
+    // the single-file design a stealer re-read the stale counter and claimed
+    // 7 AGAIN, un-fencing the zombie's staged ledger rewrite. No marker 7
+    // exists here, exactly as that zombie would leave the world.
+    Files.writeString(lock, "pid=1 op=x gen=7 nonce=zombie")
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    var seenBody = ""
+    store.leaseCheckHook = _ => seenBody = Files.readString(lock)
+    try store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // steals the stale lock
+    finally store.leaseCheckHook = _ => ()
+    // the successor's claim must land ABOVE the zombie's observed body gen,
+    // marker or no marker: its sweep fences .tmp-ledger-g7-* as stale
+    assert(seenBody.contains("gen=8"), s"successor must claim above the marker-less zombie's 7: $seenBody")
     assert(!Files.exists(lock))
   }
 
@@ -926,17 +951,28 @@ class TableStoreSpec extends SparkTestBase {
     val store = new TableStore(base, "tier_gen")
     store.write(df("2024-01-01" -> 1), "day", "stream-g-batch-0", append = true)
     val mdir = Paths.get(s"$base/tier_gen/_manifests")
-    val genFile = mdir.resolve("maintenance.generation")
     val lock = mdir.resolve("maintenance.lock")
+    def markers: Set[Long] = {
+      val listing = Files.list(mdir)
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("maintenance.gen-")).map(_.stripPrefix("maintenance.gen-").toLong).toSet
+      finally listing.close()
+    }
     var seenBody = ""
     store.leaseCheckHook = _ => seenBody = Files.readString(lock)
     try {
       store.gcStreamWatermarks(maxAgeMs = Long.MaxValue)
-      assert(Files.readString(genFile).trim == "1", "first acquisition claims generation 1")
+      assert(markers == Set(1L), s"first acquisition claims marker 1, found $markers")
       assert(seenBody.contains("gen=1"), s"lock body must carry its generation: $seenBody")
       store.gcStreamWatermarks(maxAgeMs = Long.MaxValue)
-      assert(Files.readString(genFile).trim == "2", "second acquisition claims generation 2")
+      assert(markers == Set(2L), s"second acquisition claims marker 2 and GCs marker 1, found $markers")
       assert(seenBody.contains("gen=2"), s"lock body must carry its generation: $seenBody")
+      // a legacy single-file generation record (earlier round-7 binaries)
+      // is a read-only FLOOR: the next claim lands strictly above it
+      Files.writeString(mdir.resolve("maintenance.generation"), "41")
+      store.gcStreamWatermarks(maxAgeMs = Long.MaxValue)
+      assert(markers == Set(42L), s"claim must bump past the legacy file's 41, found $markers")
+      assert(seenBody.contains("gen=42"), s"lock body must carry its generation: $seenBody")
     } finally store.leaseCheckHook = _ => ()
     // the parser behind the acquisition sweep: versioned names carry their
     // generation; the legacy unversioned form always reads stale (0)
