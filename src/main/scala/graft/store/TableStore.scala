@@ -371,6 +371,15 @@ final class TableStore(
   // ≥ k and returns > k. Gaps are fine (a lost lock race or a thrown
   // contention error strands its marker until GC); regressions are
   // impossible (markers are never rewritten, only created).
+  //
+  // Mixed-version caveat (migration window only): a zombie running the
+  // EARLIER round-7 cut claims no marker, so its generation is visible only
+  // in its lock body (the bodyFloor observation in withMaintenanceLock) —
+  // if a legacy stealer removes that lock and then crashes before writing
+  // its own, a new-binary claimant never observes the zombie's generation
+  // and can duplicate it. Requires two legacy binaries plus two crashes
+  // inside one TTL window, and vanishes once all writers run the marker
+  // code; the single-version guarantee is unconditional.
 
   private val genMarkerPrefix = "maintenance.gen-"
 
@@ -392,17 +401,34 @@ final class TableStore(
   /** atomically claim the next free generation above `floor`. A squatter on
     * a marker name (or a concurrent claimant) just bumps the number —
     * claiming never destroys or rewrites anything.
+    *
+    * The post-create RE-READ closes the number-space-reopen hole: GC frees
+    * marker numbers below each holder's generation, so a claimant that
+    * stalled between its max read and its CREATE_NEW can wake to find its
+    * stale target number FREE again and claim it below a still-live
+    * zombie's generation (whose staged ledger rewrite its sweep would then
+    * spare). After creating, re-read the max: any higher marker means our
+    * claim is not the maximum — abandon it (stranded until GC) and claim
+    * again above. A live zombie's own marker outlives its staged files
+    * (every acquisition sweeps staged ledgers BEFORE it GCs markers, so
+    * "marker k deleted" implies "g<k staging already swept by a holder
+    * above k"), so the re-read always sees the zombie's generation while
+    * its staging can still land.
     */
   private def claimGeneration(floor: Long): Long = {
-    var g = math.max(readGeneration(), floor) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        Files.writeString(manifestDir.resolve(s"$genMarkerPrefix$g"), "", StandardOpenOption.CREATE_NEW)
-        claimed = true
-      } catch { case _: FileAlreadyExistsException => g += 1 }
+    while (true) {
+      var g = math.max(readGeneration(), floor) + 1
+      var claimed = false
+      while (!claimed) {
+        try {
+          Files.writeString(manifestDir.resolve(s"$genMarkerPrefix$g"), "", StandardOpenOption.CREATE_NEW)
+          claimed = true
+        } catch { case _: FileAlreadyExistsException => g += 1 }
+      }
+      if (readGeneration() <= g) return g
+      // a higher marker exists — ours is not the max; leave it for GC and go above
     }
-    g
+    0L // unreachable
   }
 
   /** GC markers strictly below `gen`. OURS (= the max as of our claim)
@@ -1015,15 +1041,18 @@ final class TableStore(
     * on EVERY output path, including the fresh=None parent-propagation case
     * and the parent-field lookup: a manifest poisoned by a pre-reconcile
     * build is healed at the next commit instead of propagated forever. When
-    * the PARENT's own field is void (the poisoned-manifest case) the heal
-    * consults the retained LINEAGE, newest first — older manifests still
-    * carry the field's true type, and a metadata-only commit then recovers
-    * it instead of blanket-falling to string (found by the round-7 fuzz's
-    * poison op: a TTL no-op over a poisoned parent mistyped a long column
-    * as string). Lazy: the lineage is re-read from disk ONLY when a void
-    * field survives the parent lookup — never on the commit hot path. A
-    * stale type cannot be resurrected this way: a legitimately re-typed
-    * field is non-void in the immediate parent, so the walk never runs.
+    * the parent CARRIES the field but as void (the poisoned-manifest case)
+    * the heal consults the retained LINEAGE, newest first — older manifests
+    * still carry the field's true type, and a metadata-only commit then
+    * recovers it instead of blanket-falling to string (found by the round-7
+    * fuzz's poison op: a TTL no-op over a poisoned parent mistyped a long
+    * column as string). Lazy: the lineage is re-read from disk ONLY when a
+    * void field survives the parent lookup — never on the commit hot path.
+    * Stale types cannot be resurrected: a legitimately re-typed field is
+    * non-void in the immediate parent so the walk never runs, and a field
+    * ABSENT from the parent (a dropped column re-added as all-null) takes
+    * the string fallback directly — walking history there would resurrect
+    * the dropped column's old type over data that no longer is one.
     *
     * Known imprecision (migration-only): a PRE-schema lineage (schemaJson
     * absent everywhere) gives a void field the blanket string fallback even
@@ -1041,14 +1070,18 @@ final class TableStore(
   ): Option[String] = {
     import org.apache.spark.sql.types.{DataType, NullType, StringType, StructType}
     def parse(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
-    val ps = parentSchema.map(parse)
-    lazy val ancestors = lineageSchemas.map(parse).toSeq // parsed ONLY on a failed parent lookup
+    lazy val ps = parentSchema.map(parse) // parsed ONLY when a void field exists
+    // LazyList: memoized AND per-element lazy — `find` parses retained
+    // manifests only up to the first hit, and only on a failed parent lookup
+    lazy val ancestors = lineageSchemas.map(parse).to(LazyList)
     def nonVoid(st: StructType, name: String): Option[org.apache.spark.sql.types.DataType] =
       st.fields.find(pf => pf.name == name && pf.dataType != NullType).map(_.dataType)
     def resolve(name: String): org.apache.spark.sql.types.DataType =
-      ps.flatMap(nonVoid(_, name)) match {
-        case Some(t) => t
-        case None    => ancestors.iterator.flatMap(nonVoid(_, name)).nextOption().getOrElse(StringType)
+      ps.flatMap(_.fields.find(_.name == name)) match {
+        case Some(pf) if pf.dataType != NullType => pf.dataType
+        case Some(_) => // present-but-void parent = the poisoned case: walk the lineage
+          ancestors.iterator.flatMap(nonVoid(_, name)).nextOption().getOrElse(StringType)
+        case None => StringType // absent from the parent: never resurrect a dropped column's type
       }
     fresh.orElse(parentSchema).map { j =>
       val st = parse(j)

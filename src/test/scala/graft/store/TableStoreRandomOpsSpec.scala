@@ -202,12 +202,18 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
             val path = java.nio.file.Paths.get(f"$base/tier_fz/_manifests/snapshot-${cur.snapshotId}%09d.json")
             java.nio.file.Files.writeString(path, ManifestJson.render(cur.copy(schemaJson = Some(voided.json))))
             assert(store.currentSnapshot.get.schemaJson.get.contains("\"void\""), s"seed $seed op$k: poisoning precondition")
-            // is the true type recoverable? = some RETAINED ancestor still
-            // carries the field non-void (the poisoned current does not)
-            val recoverable = store.snapshots.exists(_.schemaJson.exists { j =>
-              DataType.fromJson(j).asInstanceOf[StructType].fields
-                .exists(f => f.name == poisonCol && f.dataType != NullType)
-            })
+            // the type the lineage walk must recover = the NEWEST retained
+            // ancestor's non-void type for the field (the poisoned current
+            // never matches). None = all typed ancestors expired → the
+            // documented string fallback applies. Matching the walk's exact
+            // pick matters: an earlier string-fallback heal in THIS seed's
+            // history legitimately makes the recoverable type string, not
+            // the column's original long.
+            val recoverableType = store.snapshots.sortBy(-_.snapshotId).iterator
+              .flatMap(_.schemaJson)
+              .flatMap(j => DataType.fromJson(j).asInstanceOf[StructType].fields
+                .find(f => f.name == poisonCol && f.dataType != NullType).map(_.dataType))
+              .nextOption()
             // heal path drawn at random: a metadata-only commit (propagates +
             // sanitizes the parent schema) or a fresh append (delta read-back
             // wins; its non-void fields override the poisoned parent's)
@@ -216,12 +222,12 @@ class TableStoreRandomOpsSpec extends SparkTestBase {
               lineageIds += lineage
               recordCommit(snap)
               check(s"op$k poison($poisonCol)+heal(metadata-only)")
-              // a retained typed ancestor ⇒ the lineage walk recovers the
+              // a retained typed ancestor ⇒ the lineage walk recovers that
               // EXACT type, never the blanket string fallback
-              if (recoverable && poisonCol == "v") {
+              recoverableType.foreach { t =>
                 val healed = DataType.fromJson(store.currentSnapshot.get.schemaJson.get).asInstanceOf[StructType]
-                assert(healed("v").dataType == org.apache.spark.sql.types.LongType,
-                  s"seed $seed op$k: recoverable poisoned v healed to ${healed("v").dataType}, not long")
+                assert(healed(poisonCol).dataType == t,
+                  s"seed $seed op$k: recoverable poisoned $poisonCol healed to ${healed(poisonCol).dataType}, walk should find $t")
               }
             } else {
               val days = pickDays(1)
