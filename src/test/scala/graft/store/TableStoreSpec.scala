@@ -578,6 +578,47 @@ class TableStoreSpec extends SparkTestBase {
     assert(markers.contains("maintenance.gen-notanumber"), s"unparseable names must be left alone: $markers")
   }
 
+  test("concurrent maintenance acquisitions claim strictly unique generations") {
+    // stresses the claim path itself: CREATE_NEW marker races between
+    // threads claiming at the same instant, plus the post-create max
+    // re-check. Every successful acquisition must carry a generation no
+    // other acquisition ever carried — a duplicate would un-fence the
+    // ledger rewrite (see the fencing scaladoc).
+    val base = tmp()
+    val store = new TableStore(base, "tier_cg")
+    store.write(df("2024-01-01" -> 1), "day", "stream-cg-batch-0", append = true)
+    val lock = Paths.get(s"$base/tier_cg/_manifests/maintenance.lock")
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // the hook fires inside assertLeaseHeld while THIS thread holds the
+    // lease, so the body read is always the reader's own
+    store.leaseCheckHook = _ => bodies.add(Files.readString(lock))
+    val perThread = 5
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        var done = 0
+        while (done < perThread) {
+          try { store.gcStreamWatermarks(maxAgeMs = Long.MaxValue); done += 1 }
+          catch { case _: MaintenanceLockHeld => Thread.sleep(2) } // contended — retry
+        }
+      })
+    }
+    try {
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(threads.forall(!_.isAlive), "acquisition stress did not complete in time")
+    } finally store.leaseCheckHook = _ => ()
+    val byNonce = bodies.toArray(Array.empty[String]).toSeq
+      .map { b =>
+        val kv = b.split(' ').map(s => s.span(_ != '=')).map { case (k, v) => k -> v.drop(1) }.toMap
+        kv("nonce") -> kv("gen").toLong
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byNonce.size == 8 * perThread, s"expected ${8 * perThread} successful acquisitions, saw ${byNonce.size}")
+    assert(byNonce.values.forall(_.size == 1), "one lease observed under two generations")
+    val gens = byNonce.values.map(_.head).toSeq
+    assert(gens.distinct.size == gens.size, s"DUPLICATE generations claimed concurrently: ${gens.sorted}")
+  }
+
   test("a stale lock whose generation has NO marker (stall-before-persist zombie) is never duplicated") {
     val base = tmp()
     val store = new TableStore(base, "tier_x", maintenanceLockTtlMs = 50L)
