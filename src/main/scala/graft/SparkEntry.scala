@@ -25,6 +25,28 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scale-adaptive scan spreading (guide §2.5 input skew: "one huge
+    * unsplittable file … repartition immediately after the read"). The tiny
+    * local fixtures are single-row-group parquet files, so the scan yields
+    * ONE split and every map-side sweep (shingling, 48-plane LSH bucketing,
+    * 64-bit simhash votes) serializes on one core of the 32 — measured as
+    * the dominant stage of the ANN/text queries at sf0.1. Round-robin
+    * repartition to defaultParallelism ONLY when the scan is under-parallel:
+    * at production scale the scan already has ≥ that many splits and this is
+    * the identity (no shuffle added), so the knob is derived from cluster
+    * size, not tuned to local[32].
+    *
+    * Applied ONLY to queries whose aggregates are order-exact (integer
+    * counts, min/max of longs, per-row hashes, per-pair cosines) — NEVER to
+    * the FP-sum series paths, where a changed partial-aggregation
+    * combination order could wiggle last-ulp double bits against the
+    * committed oracle hashes.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** deterministic multimodal corpus, materialized ONCE to parquet so q24/q25
     * and the DuckDB oracle (read_parquet on the absolute path) see the SAME
     * rows instead of re-synthesizing per engine.
@@ -331,15 +353,15 @@ object SparkEntry {
     // hot-shingle drop semantics, not just the uncapped join)
     "q16_ngram_jaccard" -> ((s, dir) =>
       TextOps
-        .ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05, maxShingleDf = 20)
+        .ngramJaccardPairs(spread(documents(s, dir)), n = 3, minJaccard = 0.05, maxShingleDf = 20)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // MinHash+LSH candidate pairs (Spark murmur3 banding — rows-only oracle)
     "q17_minhash_lsh" -> ((s, dir) =>
-      TextOps.minHashCandidatePairs(TextOps.minHashSignatures(TextOps.shingles(documents(s, dir), 3), 32), 4)),
+      TextOps.minHashCandidatePairs(TextOps.minHashSignatures(TextOps.shingles(spread(documents(s, dir)), 3), 32), 4)),
 
     // SimHash 64-bit signatures (xxhash64 — rows-only oracle)
-    "q18_simhash" -> ((s, dir) => TextOps.simHash(documents(s, dir))),
+    "q18_simhash" -> ((s, dir) => TextOps.simHash(spread(documents(s, dir)))),
 
     // rolling-hash fingerprint (crc32 — rows-only oracle)
     "q19_fingerprint" -> ((s, dir) =>
@@ -347,8 +369,10 @@ object SparkEntry {
 
     // brute-force cosine top-k (correctness baseline for ANN)
     "q20_ann_brute" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      // native array cast (exact float→double widening, same values as the
+      // per-element transform-cast lambda but codegen'd, not interpreted)
+      val emb = spread(embeddings(s, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann
         .bruteForceTopK(emb, emb.where(col("vec_id") < 5), 10)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
@@ -356,8 +380,10 @@ object SparkEntry {
 
     // LSH-bucketed ANN (scale path — rows-only oracle)
     "q21_ann_lsh" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      // native array cast (exact float→double widening, same values as the
+      // per-element transform-cast lambda but codegen'd, not interpreted)
+      val emb = spread(embeddings(s, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann.lshTopK(emb, emb.where(col("vec_id") < 5), 10, nPlanes = 6, nTables = 8, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
@@ -415,8 +441,10 @@ object SparkEntry {
     // IVF ANN: deterministic coarse quantizer + nProbe cell search
     // (rows-only oracle; recall-tested vs brute force in OpsSpec)
     "q27_ann_ivf" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      // native array cast (exact float→double widening, same values as the
+      // per-element transform-cast lambda but codegen'd, not interpreted)
+      val emb = spread(embeddings(s, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       graft.ann.Ann
         .ivfTopK(emb, emb.where(col("vec_id") < 5), 10, nCells = 16, nProbe = 4, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -425,8 +453,10 @@ object SparkEntry {
     // embedding-cosine near-dup pairs via LSH candidates (rows-only oracle;
     // recall-tested vs brute force in OpsSpec)
     "q26_embedding_neardup" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      // native array cast (exact float→double widening, same values as the
+      // per-element transform-cast lambda but codegen'd, not interpreted)
+      val emb = spread(embeddings(s, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       graft.ann.Ann
         .nearDupPairs(emb, minCosine = 0.4, dims = 64)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
@@ -603,7 +633,7 @@ object SparkEntry {
     // exact-Jaccard near-dup pairs — group id + canonical keep flag
     "q39_dedup_groups" -> ((s, dir) =>
       TextOps
-        .dedupGroups(TextOps.ngramJaccardPairs(documents(s, dir), n = 3, minJaccard = 0.05, maxShingleDf = 20))
+        .dedupGroups(TextOps.ngramJaccardPairs(spread(documents(s, dir)), n = 3, minJaccard = 0.05, maxShingleDf = 20))
         .select(col("id"), col("group_id"), col("keep"))),
 
     // A12 analog: OLS-with-intercept forecast, OpenForecast accuracy gates,

@@ -83,13 +83,18 @@ object Ann {
       (1L << 53).toDouble) * 2.0 - 1.0
 
   /** LSH bucket = sign bits of nPlanes hyperplane dot products. The weights
-    * are driver-computed constants inlined as an array literal per plane:
-    * reproducible at any parallelism and ~100× cheaper per row than deriving
-    * each weight from a hash expression inside the lambda.
+    * are driver-computed constants inlined as ONE array literal per plane
+    * (`typedlit(Array[Double])` → a single Catalyst Literal): reproducible at
+    * any parallelism and ~100× cheaper per row than deriving each weight from
+    * a hash expression inside the lambda. A per-element `array(lit, …)` tree
+    * would carry nPlanes·nTables·dims literal NODES through analysis and
+    * constant folding on every plan — at 8 tables × 6 planes × 64 dims that
+    * is ~3,000 extra expression nodes per sweep, measured as over half of
+    * q21's wall time at sf0.1 (planning, not data work).
     */
   def lshBucket(emb: Column, table: Int, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val w = array((0 until dims).map(d => lit(planeWeight(table, p, d))): _*)
+      val w = typedlit((0 until dims).map(d => planeWeight(table, p, d)).toArray)
       val dot = graft.functions.VectorExpressions.dot(emb, w)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -292,7 +297,10 @@ object Ann {
       .select(
         col("cell"),
         col("c"),
-        aggregate(col("c"), lit(0.0), (a, v) => a + v * v).as("norm")
+        // native SquaredNorm: same left-to-right accumulation as
+        // aggregate(c, 0.0, a + v*v) — bit-identical, but a tight codegen
+        // loop instead of one interpreted lambda step per element
+        graft.functions.VectorExpressions.squaredNorm(col("c")).as("norm")
       )
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cell"), col("c"), col("norm")))).as("cells"))
@@ -305,7 +313,12 @@ object Ann {
       cells,
       struct(lit(Double.MinValue).as("s"), lit(-1).as("cell")),
       (acc, cs) => {
-        val dot = aggregate(zip_with(emb, cs.getField("c"), (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        // native DotProduct (accumulation order identical to the
+        // zip_with+aggregate fold — bit-equal results): the composable form
+        // ran the lambda interpreter per DIMENSION per cell per row
+        // (nCells·dims interpreted steps/row); the native expression is one
+        // eval per cell with a tight inner loop
+        val dot = graft.functions.VectorExpressions.dot(emb, cs.getField("c"))
         val score = dot * 2 - cs.getField("norm")
         when(score > acc.getField("s"), struct(score.as("s"), cs.getField("cell").as("cell"))).otherwise(acc)
       }
@@ -358,7 +371,9 @@ object Ann {
       col("cells"),
       cs =>
         struct(
-          (aggregate(zip_with(col("q_emb"), cs.getField("c"), (x, y) => x * y), lit(0.0), (a, v) => a + v) * 2
+          // native DotProduct — same fold order as zip_with+aggregate (see
+          // assignCell), one eval per cell instead of dims lambda steps
+          (graft.functions.VectorExpressions.dot(col("q_emb"), cs.getField("c")) * 2
             - cs.getField("norm")).as("s"),
           cs.getField("cell").as("cell")
         )

@@ -93,6 +93,20 @@ object TextOps {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** the per-document DISTINCT shingle array (shared by `shingles` and
+    * `shinglesWithCount` so the two stay expression-identical)
+    */
+  private def shingleArray(n: Int): Column =
+    array_distinct(
+      filter(
+        transform(
+          col("_toks"),
+          (_, i) => when(i + n <= size(col("_toks")), concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
+        ),
+        _.isNotNull
+      )
+    )
+
   /** word n-gram shingles of a document, distinct, exploded to long rows.
     * The token array is materialized ONCE per row before the transform —
     * referencing `tokens(text)` inside the lambda would re-run the regex
@@ -102,20 +116,30 @@ object TextOps {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("_toks"))
-      .select(
-        col("doc_id"),
-        explode(
-          array_distinct(
-            filter(
-              transform(
-                col("_toks"),
-                (_, i) => when(i + n <= size(col("_toks")), concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
-              ),
-              _.isNotNull
-            )
-          )
-        ).as("shingle")
-      )
+      .select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+
+  /** shingles + the per-doc distinct-shingle count carried THROUGH the
+    * explode: n_sh is size(distinct array), computed on the pre-explode row,
+    * so Jaccard's union sizes need no second shingling pass and no join-back
+    * (the former per-doc counts table re-ran the full tokenize+shingle
+    * subtree once per join side). 8 extra bytes per shingle row through the
+    * exchange buys the removal of two broadcast joins and two corpus sweeps.
+    */
+  private[text] def shinglesWithCount(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), shingleArray(n).as("_shs"))
+      // explode_outer + isNotNull ≡ explode here (shingleArray never holds
+      // null elements, so only the empty/null-array row is dropped either
+      // way), but with a crucial plan difference: plain explode over the
+      // ATTRIBUTE _shs lets InferFiltersFromGenerate add a
+      // size(_shs)>0 filter that projection collapse inlines into TWO full
+      // copies of the shingle expression and pushes below the upstream
+      // exchange — the whole tokenize+shingle pipeline then runs twice,
+      // serially, in the scan stage (measured 5× slower at sf0.1). The rule
+      // skips outer generates.
+      .select(col("doc_id"), size(col("_shs")).as("n_sh"), explode_outer(col("_shs")).as("shingle"))
+      .where(col("shingle").isNotNull)
 
   /** MinHash signatures: k pseudo-permutations h_i(s) = (a_i·crc32(s) + b_i)
     * mod p, per-doc min. Output: doc_id, sig ARRAY<BIGINT>[k].
@@ -214,8 +238,10 @@ object TextOps {
     * |∩| per pair; |∪| from per-doc shingle counts.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(docs, n)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // n_sh (the Jaccard denominator's per-doc term) rides along on every
+    // shingle row — see shinglesWithCount: the former per-doc counts table
+    // cost two more full tokenize+shingle sweeps and two join-backs
+    val sh = shinglesWithCount(docs, n)
     // document-frequency cap (standard): a shingle in D docs contributes D²
     // join rows — one ubiquitous trigram at corpus scale is quadratic. Drop
     // shingles with df > maxShingleDf BEFORE the inverted-index self-join;
@@ -227,18 +253,14 @@ object TextOps {
       .withColumn("_df", count(lit(1)).over(wSh))
       .where(col("_df") <= maxShingleDf)
       .drop("_df")
-    val inter = kept
+    // per-pair |∩| with the two |doc| terms folded into the SAME aggregate
+    // (first() is well-defined: n_sh is constant within a (doc_a, doc_b)
+    // group) — no counts join at all
+    kept
       .as("a")
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    // NO broadcast hint on the per-doc counts: one row PER DOCUMENT is
-    // unbounded in corpus size (a forced broadcast OOMs the driver at
-    // billions of docs) — Catalyst/AQE broadcasts automatically whenever
-    // the frame actually fits
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("inter"), first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
@@ -267,66 +289,88 @@ object TextOps {
     // materialize the pair set ONCE — the two union branches below would
     // otherwise re-execute the (potentially expensive) candidate-pair plan
     val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // dedupe via repartition(src) + dropDuplicates instead of distinct():
+    // hashpartitioning(src) satisfies the (src, dst) clustering the dedup
+    // aggregate needs (same-src rows share a partition), so this is ONE
+    // exchange instead of two — and the checkpoint PRESERVES the src
+    // partitioning, so every round's edges-side propagation join below runs
+    // exchange-free on the edges side for the whole loop
     val edges = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
     release(p0) // edges is materialized; the raw pair blocks are dead
-    var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // convergence = zero labels changed this round. Counting changed rows
-    // (label ≠ previous label, carried through the same projection) is
-    // overflow-proof — a Σlabel comparison can wrap Long at 100 TB id
-    // spaces — and costs one aggregate over the already-checkpointed frame.
+    // FUSED round 1: the initial labels are the identity map, so the first
+    // propagation collapses to ONE aggregate over edges — least(id,
+    // min(neighbor)) — replacing the former init (distinct + checkpoint)
+    // AND round 1's two joins. Its convergence count is skipped outright:
+    // whenever any edge exists, the max-id node of its component has a
+    // smaller neighbor, so round 1 always changes a label (and on an empty
+    // edge set the loop below confirms convergence on the empty frame in
+    // one cheap round). The jump runs in the same job — the aggregate's
+    // exchange is identical on both sides of the self-join, so ReuseExchange
+    // computes it once.
+    // pointer jump as a PLAN transform: label := min(label, label(label)),
+    // preserving any extra columns (e.g. the _chg flag) — chains collapse
+    // exponentially (path halving).
+    def jump(df: DataFrame): DataFrame = {
+      val extra = df.columns.filter(c => c != "id" && c != "label").map(col)
+      df.join(df.select(col("id").as("label"), col("label").as("_ll")), Seq("label"), "left_outer")
+        .select(col("id") +: least(col("label"), coalesce(col("_ll"), col("label"))).as("label") +: extra: _*)
+    }
+    var labels = {
+      val l1 = edges
+        .groupBy(col("dst").as("id"))
+        .agg(min("src").as("_m"))
+        .select(col("id"), least(col("id"), col("_m")).as("label"))
+      jump(l1).localCheckpoint()
+    }
     var converged = false
-    var i = 0
+    var i = 1 // round 1 ran fused above
     while (!converged && i < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("_nl"))
-      // materialized ONCE per round (cached; the frontier count below runs a
-      // FULL scan, so every partition lands in the cache in the same job):
-      // uncached, the jump's self-join re-executed the propagation join on
-      // BOTH sides every round — at scale that join over all edges is the
-      // dominant shuffle, so this halves the per-round heavy work
+      // propagation + pointer jump + the change flag, all inside ONE
+      // checkpointed plan per round (formerly: persist propagated → count
+      // changed → jump → checkpoint = two full action chains per round; the
+      // loop's cost at bench scale was almost entirely this job count).
+      // `propagated` appears on both sides of the jump self-join, but its
+      // heavy parts (the propagation join + aggregate over all edges) are
+      // identical subtrees whose exchanges ReuseExchange computes once —
+      // the same reuse the former persist() bought, without the extra
+      // action. Applying the jump unconditionally is sound: at the
+      // propagation fixpoint labels are component-constant and label(label)
+      // is the identity, so the converged round's labels are unchanged.
+      // _chg records whether PROPAGATION (not the jump) changed the label —
+      // the same early-exit frontier the former separate count used, now
+      // computed INSIDE the round's single checkpointed plan (formerly:
+      // persist propagated → count changed → jump → checkpoint = two full
+      // action chains per round; the loop's bench-scale cost was almost
+      // entirely that job count). The persist() guarantees the propagation
+      // join runs ONCE per round even though the jump references it twice
+      // (per-partition cache locking blocks racing readers on the single
+      // computation) — unpersisted right after the checkpoint materializes.
       val propagated = labels
         .join(prop, Seq("id"), "left_outer")
-        .select(col("id"), col("label").as("_prev"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("_nl"), col("label"))) =!= col("label")).as("_chg")
+        )
         .persist()
-      // EARLY EXIT on an empty frontier after propagation alone: at the
-      // propagation fixpoint every (symmetrized) edge joins equal labels, so
-      // labels are already the component minima and the jump is the identity
-      // — the confirmation round skips the jump join entirely. Tiny
-      // components (the common crawl-dedup shape) converge in round 1 and
-      // confirm with a single join in round 2.
-      converged = propagated.where(col("label") =!= col("_prev")).count() == 0
-      if (converged) {
-        // the final labels ride the cached frame; cut its (bounded, two
-        // joins deep) lineage so the superseded inputs can be released
-        val fin = propagated.select("id", "label").localCheckpoint()
-        propagated.unpersist(blocking = false)
-        release(labels)
-        labels = fin
-      } else {
-        // pointer jump: label := label(label) — every label value is itself
-        // an id in the table, so chains collapse exponentially (path halving)
-        val next = propagated
-          .join(
-            propagated.select(col("id").as("label"), col("label").as("_ll")),
-            Seq("label"),
-            "left_outer"
-          )
-          .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-          .localCheckpoint()
-        propagated.unpersist(blocking = false) // next is materialized — this round's intermediate is superseded
-        release(labels)
-        labels = next
-      }
+      val next = jump(propagated).localCheckpoint()
+      propagated.unpersist(blocking = false)
+      // convergence = zero labels changed by propagation this round. The
+      // count runs over the checkpoint blocks — one cheap scan-only job.
+      // Counting changed rows is overflow-proof — a Σlabel comparison can
+      // wrap Long at 100 TB id spaces.
+      converged = next.where(col("_chg")).count() == 0
+      release(labels)
+      labels = next.select("id", "label")
       i += 1
     }
     release(edges) // the output below reads only the final labels checkpoint
