@@ -177,9 +177,11 @@ object Ann {
       hardCap: Boolean = false
   ): DataFrame = {
     requireLshParams(nPlanes, nTables, maxBucketSize)
-    val tables = array(
-      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("embedding"), t, nPlanes, dims).as("b"))): _*
-    )
+    // ONE native expression for all tables' buckets (LshBuckets scaladoc):
+    // the per-table array(struct(…, lshBucket…)) composition generated a
+    // whole-stage method past the JVM's JIT bytecode limit — the stage ran
+    // interpreted, ~1000× per-dot cost
+    val tables = graft.functions.LshExpressions.lshBuckets(col("embedding"), nTables, nPlanes, dims)
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -260,9 +262,7 @@ object Ann {
     requireLshParams(nPlanes, nTables, maxBucketSize) // before the resolveDims job
     val dims0 = resolveDims(corpus, dims)
     val c = bucketedCapped(corpus, nPlanes, nTables, dims0, maxBucketSize, hardCap)
-    val qtables = array(
-      (0 until nTables).map(t => struct(lit(t).as("t"), lshBucket(col("q_emb"), t, nPlanes, dims0).as("b"))): _*
-    )
+    val qtables = graft.functions.LshExpressions.lshBuckets(col("q_emb"), nTables, nPlanes, dims0)
     val q = broadcast(
       queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

@@ -330,8 +330,16 @@ object TextOps {
     var converged = false
     var i = 1 // round 1 ran fused above
     while (!converged && i < maxIter) {
+      // a SECOND jump per round at bounded plan cost: labels is a
+      // checkpointed leaf, so jumping it first is a cheap leaf-only
+      // self-join (unlike jumping the propagated frame twice, whose
+      // subtree duplication measured slower than the rounds it saved).
+      // Two jumps per round ⇒ label distance quartered ⇒ ~log₄(diameter)
+      // rounds. Monotone-safe: the jump only moves labels toward the
+      // component minimum, never below it.
+      val base = jump(labels)
       val prop = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(base.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("_nl"))
       // propagation + pointer jump + the change flag, all inside ONE
@@ -354,7 +362,7 @@ object TextOps {
       // join runs ONCE per round even though the jump references it twice
       // (per-partition cache locking blocks racing readers on the single
       // computation) — unpersisted right after the checkpoint materializes.
-      val propagated = labels
+      val propagated = base
         .join(prop, Seq("id"), "left_outer")
         .select(
           col("id"),
