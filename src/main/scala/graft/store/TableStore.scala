@@ -302,17 +302,20 @@ final class TableStore(
     }
     // ORDER IS LOAD-BEARING (the fencing proof in the scaladoc above):
     // our generation was durably claimed BEFORE the lock write (CREATE_NEW
-    // marker — every later acquirer reads ≥ gen, so a live zombie's staged
-    // files always carry a generation strictly below its successor's), and
-    // the sweep invalidating older generations' staged ledger rewrites runs
-    // BEFORE this holder's first mutation, so "successor mutated" implies
-    // "zombie's staged file already swept" in every interleaving.
+    // marker — every later acquirer reads ≥ gen), and the sweep
+    // invalidating ALL staged ledger rewrites (not just older generations:
+    // a claimant stalled between claim and lock write can acquire with a
+    // LOWER generation than an already-displaced zombie's — round-8 ADVICE)
+    // runs BEFORE this holder's first mutation, so "successor mutated"
+    // implies "zombie's staged file already swept" in every interleaving;
+    // staging only happens under the lease, so nothing the sweep deletes
+    // can belong to a live holder.
     // fencing-state IO runs AFTER acquisition but BEFORE the try/finally
     // that releases the lock — a failure here (an unlistable manifest dir)
     // must release the freshly-written lock instead of orphaning it until
     // TTL for every other maintenance writer
     try {
-      sweepStaleStagedLedgers(gen)
+      sweepStaleStagedLedgers()
       gcGenerationMarkers(gen)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -451,18 +454,29 @@ final class TableStore(
       name.drop(".tmp-ledger-g".length).takeWhile(_.isDigit).toLongOption.getOrElse(0L)
     else 0L
 
-  /** Invalidate every staged ledger rewrite of an OLDER lease generation —
-    * the displaced holder's final atomic move then fails on its vanished
-    * source instead of overwriting this holder's (or a later one's) fresh
-    * appends. ONLY `.tmp-ledger-*` files: commit-path `.tmp-*.json`,
-    * watermark `.tmp-wm-*` staging and `maintenance.gen-*` markers are
-    * different protocols and are never touched here.
+  /** Invalidate EVERY staged ledger rewrite present at acquisition — the
+    * displaced holder's final atomic move then fails on its vanished source
+    * instead of overwriting this holder's (or a later one's) fresh appends.
+    *
+    * ALL `.tmp-ledger-*` files, NOT just older generations (round-8 ADVICE
+    * fix): staging only ever happens INSIDE a leased section and this sweep
+    * runs before the new holder stages anything, so any staged file visible
+    * here belongs to a non-holder (crashed or zombified) and is always safe
+    * to invalidate. The former `< gen` filter left a hole: a claimant
+    * stalled between generation claim and lock write can acquire with gen g
+    * AFTER a higher-gen holder (g+1) staged a rewrite, zombified past TTL
+    * and was stolen — sweep(g) spared the zombie's `.tmp-ledger-g<g+1>`
+    * file, whose REPLACE_EXISTING move could then land over the new
+    * holder's fresh ledger state. The generation tag stays in the filename
+    * for diagnostics and the move-side NoSuchFile guard is unchanged.
+    * ONLY `.tmp-ledger-*` files: commit-path `.tmp-*.json`, watermark
+    * `.tmp-wm-*` staging and `maintenance.gen-*` markers are different
+    * protocols and are never touched here.
     */
-  private def sweepStaleStagedLedgers(gen: Long): Unit =
+  private def sweepStaleStagedLedgers(): Unit =
     listDir(manifestDir)(_.filter(_.getFileName.toString.startsWith(".tmp-ledger-")).toSeq).foreach { p =>
-      if (stagedLedgerGen(p.getFileName.toString) < gen)
-        try Files.deleteIfExists(p)
-        catch { case _: java.io.IOException => () } // vanished or busy — the move-side guard still holds
+      try Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () } // vanished or busy — the move-side guard still holds
     }
 
   /** Test seam: runs at the top of every `assertLeaseHeld`, BEFORE the

@@ -1058,24 +1058,29 @@ class TableStoreSpec extends SparkTestBase {
     assert(store.hasCommit("stream-fresh-batch-9"))
   }
 
-  test("the acquisition sweep invalidates ONLY older-generation staged ledgers — never other staging protocols") {
+  test("the acquisition sweep invalidates EVERY staged ledger — including higher generations — never other staging protocols") {
     val base = tmp()
     val store = new TableStore(base, "tier_sweep")
     store.write(df("2024-01-01" -> 1), "day", "stream-s-batch-0", append = true)
     val mdir = Paths.get(s"$base/tier_sweep/_manifests")
     store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // gen 1 — next acquisition claims 2
-    // plant: two stale staged ledgers (versioned + legacy), one FUTURE-
-    // generation staged ledger, and one staged file per sibling protocol
+    // plant: two stale staged ledgers (versioned + legacy), one HIGHER-
+    // generation staged ledger (the round-8 ADVICE interleaving: a claimant
+    // stalled between generation claim and lock write acquires with a LOWER
+    // gen than an already-displaced zombie's staged file — it must be swept
+    // anyway, since staging only happens under the lease and no live holder
+    // has staged anything at acquisition time), and one staged file per
+    // sibling protocol
     val staleV = mdir.resolve(".tmp-ledger-g1-deadbeef")
     val staleLegacy = mdir.resolve(".tmp-ledger-deadbeef")
-    val future = mdir.resolve(".tmp-ledger-g999-cafe")
+    val higher = mdir.resolve(".tmp-ledger-g999-cafe")
     val commitTmp = mdir.resolve(".tmp-12345678.json")
     val wmTmp = mdir.resolve(".tmp-wm-12345678")
-    for (p <- Seq(staleV, staleLegacy, future, commitTmp, wmTmp)) Files.writeString(p, "x")
-    store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // gen 2 — sweeps gen<2
+    for (p <- Seq(staleV, staleLegacy, higher, commitTmp, wmTmp)) Files.writeString(p, "x")
+    store.gcStreamWatermarks(maxAgeMs = Long.MaxValue) // gen 2 — sweeps ALL staged ledgers
     assert(!Files.exists(staleV), "gen-1 staged ledger must be invalidated by the gen-2 acquisition")
     assert(!Files.exists(staleLegacy), "legacy unversioned staged ledger reads as gen 0 — invalidated")
-    assert(Files.exists(future), "a NEWER generation's staged ledger must never be touched")
+    assert(!Files.exists(higher), "a higher-generation zombie's staged ledger must ALSO be invalidated (ADVICE r8)")
     assert(Files.exists(commitTmp), "commit-path staging is a different protocol — never swept here")
     assert(Files.exists(wmTmp), "watermark staging is a different protocol — never swept here")
   }
