@@ -15,9 +15,15 @@ object TextOps {
     * split("") yields [""], which would count one phantom token for every
     * empty/whitespace-only doc (inflating corpus token accounting at scale)
     * and feed crc32("") into fingerprints/simhashes.
+    *
+    * Native WordTokens expression (round 8): the composable
+    * `filter(split(trim(text), \\s+), _ =!= "")` evaluates the filter
+    * lambda through the expression interpreter per token (HOFs never
+    * codegen) — same strings, one JIT'd eval per row instead
+    * (TextExpressionsSpec pins the parity).
     */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    graft.functions.TextExpressions.wordTokens(text)
 
   /** token count (BPE-ish subword estimate = ceil(chars/4) also provided) */
   def withTokenCounts(docs: DataFrame): DataFrame =
@@ -93,30 +99,16 @@ object TextOps {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
 
-  /** the per-document DISTINCT shingle array (shared by `shingles` and
-    * `shinglesWithCount` so the two stay expression-identical)
-    */
-  private def shingleArray(n: Int): Column =
-    array_distinct(
-      filter(
-        transform(
-          col("_toks"),
-          (_, i) => when(i + n <= size(col("_toks")), concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
-        ),
-        _.isNotNull
-      )
-    )
-
   /** word n-gram shingles of a document, distinct, exploded to long rows.
-    * The token array is materialized ONCE per row before the transform —
-    * referencing `tokens(text)` inside the lambda would re-run the regex
-    * split for every element (O(tokens²) splits per document; this was the
-    * dominant cost of the round-1 Jaccard query).
+    * Native WordShingles expression (round 8): the former
+    * transform/slice/concat_ws/array_distinct chain paid the lambda
+    * interpreter per token per document (HOFs never codegen) — measured as
+    * the dominant map-side cost of the Jaccard/MinHash queries; identical
+    * shingle strings, one JIT'd eval per row (TextExpressionsSpec).
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+      .select(col("doc_id"), explode(graft.functions.TextExpressions.wordShingles(col("text"), n)).as("shingle"))
 
   /** shingles + the per-doc distinct-shingle count carried THROUGH the
     * explode: n_sh is size(distinct array), computed on the pre-explode row,
@@ -127,8 +119,7 @@ object TextOps {
     */
   private[text] def shinglesWithCount(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), shingleArray(n).as("_shs"))
+      .select(col("doc_id"), graft.functions.TextExpressions.wordShingles(col("text"), n).as("_shs"))
       // explode_outer + isNotNull ≡ explode here (shingleArray never holds
       // null elements, so only the empty/null-array row is dropped either
       // way), but with a crucial plan difference: plain explode over the
