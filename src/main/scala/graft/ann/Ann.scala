@@ -286,14 +286,21 @@ object Ann {
     * at real cell counts (4k–64k) inlining them into the plan explodes
     * codegen; a single-row cross join scales to any nCells.
     */
-  private def centroidRow(assigned: DataFrame): DataFrame =
+  private def centroidRow(assigned: DataFrame, dims: Int): DataFrame = {
+    // ONE aggregation: per-cell mean as `dims` avg columns over
+    // try_element_at — the former posexplode → groupBy(cell, d) →
+    // collect_list → transform pyramid cost two extra exchanges and a
+    // dims-fold row blowup per Lloyd iteration. Same partial-aggregation
+    // value stream per dimension, so the centroid doubles are the same
+    // modulo partial-merge order (which the old shape did not pin either).
+    // try_element_at (not element_at): a ragged short embedding yields null
+    // for its missing dims — avg ignores nulls, mirroring the old shape
+    // where absent (cell, d) rows simply did not contribute.
+    val avgs = (0 until dims).map(d => avg(try_element_at(col("embedding"), lit(d + 1))).as(s"_m$d"))
     assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy("cell", "d")
-      .agg(avg("v").as("m"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("c"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cell"), array((0 until dims).map(d => col(s"_m$d")): _*).as("c"))
       .select(
         col("cell"),
         col("c"),
@@ -304,6 +311,7 @@ object Ann {
       )
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cell"), col("c"), col("norm")))).as("cells"))
+  }
 
   /** nearest-centroid id for `emb` given the cells array column: argmax of
     * 2·x·c − |c|² (≡ argmin squared distance), ties to the lower cell id.
@@ -328,12 +336,13 @@ object Ann {
 
   /** IVF (inverted-file) ANN. Seeding is a deterministic hash partition of
     * the corpus (cell₀ = xxhash64(vec_id) mod nCells → per-cell mean), then
-    * `lloydIters` distributed k-means steps; every step is explode-by-
-    * dimension aggregation + a single-row broadcast cross join — no driver
-    * collect, no orderBy, no plan-literal centroids. Search probes the
-    * nProbe nearest cells per query; the candidate join key is the cell id.
-    * `dims` is accepted for API uniformity with the LSH paths but unused —
-    * centroids take their width from the data, so no inference job runs.
+    * `lloydIters` distributed k-means steps; every step is ONE per-cell
+    * aggregation + a single-row broadcast cross join — no driver collect,
+    * no orderBy, no plan-literal centroids. Search probes the nProbe
+    * nearest cells per query; the candidate join key is the cell id.
+    * `dims` sizes the centroid aggregation (round 8); when 0 it is
+    * inferred with a one-row job, so callers that know their width (they
+    * almost always do) should pass it.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -344,19 +353,18 @@ object Ann {
       lloydIters: Int = 2,
       dims: Int = 0
   ): DataFrame = {
-    // dims is not needed here: centroids take their width from the data
-    // (posexplode over each embedding), so no inference job runs
+    val dims0 = resolveDims(corpus, dims)
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
     // localCheckpoint each round's centroid row (ONE tiny row): without it
     // every later plan re-executes the whole chain of previous Lloyd passes
-    var cRow = centroidRow(seeded).localCheckpoint()
+    var cRow = centroidRow(seeded, dims0).localCheckpoint()
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned).localCheckpoint()
+      cRow = centroidRow(assigned, dims0).localCheckpoint()
       it += 1
     }
 

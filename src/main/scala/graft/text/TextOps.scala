@@ -372,6 +372,7 @@ object TextOps {
       labels = next.select("id", "label")
       i += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] converged=$converged rounds=$i")
     release(edges) // the output below reads only the final labels checkpoint
     if (!converged)
       throw new IllegalStateException(
