@@ -90,6 +90,15 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ngram jaccard folds doc sizes into the pair aggregate — no per-doc counts subtree") {
+    // round 8: n_sh rides each shingle row (shinglesWithCount), so the plan
+    // holds exactly the two self-join sides' shingle subtrees — the old
+    // shape built a per-doc counts table from TWO MORE full
+    // tokenize+shingle sweeps and broadcast-joined it back twice
+    val p = plan(TextOps.ngramJaccardPairs(docs, 3, 0.1, maxShingleDf = 500))
+    assert(count(p, "Generate") <= 2, s"more than the two self-join shingle subtrees:\n$p")
+  }
+
   test("LSH self-join is equi-keyed on (table, bucket) — no cross product") {
     val s = spark
     import s.implicits._
