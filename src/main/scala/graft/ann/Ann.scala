@@ -355,16 +355,20 @@ object Ann {
   ): DataFrame = {
     val dims0 = resolveDims(corpus, dims)
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
-    // localCheckpoint each round's centroid row (ONE tiny row): without it
-    // every later plan re-executes the whole chain of previous Lloyd passes
-    var cRow = centroidRow(seeded, dims0).localCheckpoint()
+    // LAZY localCheckpoint each round's centroid row (ONE tiny row): the
+    // checkpoint still cuts lineage so no later plan re-executes previous
+    // Lloyd passes (each round's RDD materializes exactly once, on first
+    // use), but laziness folds the whole ladder into the FINAL query's
+    // execution instead of one eager driver-blocking job per round —
+    // lloydIters fewer action round-trips, cold planning included
+    var cRow = centroidRow(seeded, dims0).localCheckpoint(eager = false)
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned, dims0).localCheckpoint()
+      cRow = centroidRow(assigned, dims0).localCheckpoint(eager = false)
       it += 1
     }
 

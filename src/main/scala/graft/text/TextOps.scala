@@ -277,22 +277,30 @@ object TextOps {
     // MEMORY_AND_DISK blocks until the session ends, so an iterative loop
     // would otherwise retain every round's labels simultaneously
     def release(df: DataFrame): Unit = checkpointedRdd(df).foreach(_.unpersist(blocking = false))
-    // materialize the pair set ONCE — the two union branches below would
-    // otherwise re-execute the (potentially expensive) candidate-pair plan
-    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    // dedupe via repartition(src) + dropDuplicates instead of distinct():
+    // symmetrize via explode, NOT a self-union: the union's two branches
+    // each re-execute the (potentially expensive) candidate-pair plan, which
+    // previously forced a separate checkpoint of the raw pairs first; the
+    // explode emits both directed edges from ONE pass over the pairs plan,
+    // so the only materialization is the edges checkpoint itself.
+    // Dedupe via repartition(src) + dropDuplicates instead of distinct():
     // hashpartitioning(src) satisfies the (src, dst) clustering the dedup
     // aggregate needs (same-src rows share a partition), so this is ONE
     // exchange instead of two — and the checkpoint PRESERVES the src
     // partitioning, so every round's edges-side propagation join below runs
     // exchange-free on the edges side for the whole loop
-    val edges = p0
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst"))
+          )
+        ).as("_e")
+      )
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .localCheckpoint()
-    release(p0) // edges is materialized; the raw pair blocks are dead
     // FUSED round 1: the initial labels are the identity map, so the first
     // propagation collapses to ONE aggregate over edges — least(id,
     // min(neighbor)) — replacing the former init (distinct + checkpoint)
