@@ -1,11 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Optimization-round tooling (guide §7.2): dump `.explain("formatted")` for
   * every declared query to a directory, so plan claims in OPTIMIZATION_r*.md
-  * are checkable without running Spark. NOT part of the driver bench
-  * contract — Bench.scala stays the sole timed harness.
+  * are checkable without running Spark, plus per-phase planning times
+  * (QueryPlanningTracker). NOT part of the driver bench contract —
+  * Bench.scala stays the sole timed harness.
   *
   * Usage: sbt "runMain graft.PlanDump <outDir> [queryNameRegex]"
   */
@@ -15,14 +14,7 @@ object PlanDump {
     val pattern = if (args.length > 1) args(1) else ".*"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build(cpus)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // the media fixture must exist (same untimed warm-up Bench does)
     try SparkEntry.mediaCorpus(spark).count()

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Optimization-round harness for the HEADLINE path only: calls the frozen
   * Bench.rollupThroughput with the same session config so the rollup+detect
   * pipeline can be profiled and A/B'd without the 46-query loop. Not part of
@@ -13,20 +11,7 @@ object RollupBench {
   def main(args: Array[String]): Unit = {
     val turns = if (args.nonEmpty) args(0).toLong else sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "20000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder) { dir =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      builder
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", dir)
-        .config("spark.eventLog.compress", "false")
-    }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build(cpus)
     val (pps, tiers, sec) = Bench.rollupThroughput(spark, turns, cpus.toInt)
     println(f"[rollup] pps=${pps.toLong} full_sec=$sec%.2f tiers=${tiers.map { case (k, v) => s"$k=$v" }.mkString(",")}")
     spark.stop()

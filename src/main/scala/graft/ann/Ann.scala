@@ -340,9 +340,10 @@ object Ann {
     * aggregation + a single-row broadcast cross join — no driver collect,
     * no orderBy, no plan-literal centroids. Search probes the nProbe
     * nearest cells per query; the candidate join key is the cell id.
-    * `dims` sizes the centroid aggregation (round 8); when 0 it is
-    * inferred with a one-row job, so callers that know their width (they
-    * almost always do) should pass it.
+    * The centroid aggregation is sized by the corpus's actual embedding
+    * width (inferred with a one-row job); a caller-supplied `dims > 0` is
+    * VALIDATED against it and a mismatch fails loudly instead of silently
+    * degenerating (see the guard below).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -353,22 +354,33 @@ object Ann {
       lloydIters: Int = 2,
       dims: Int = 0
   ): DataFrame = {
-    val dims0 = resolveDims(corpus, dims)
+    // dims is authoritative for the centroid aggregation, so validate it
+    // against the data (one-row job): a mismatched caller value would
+    // otherwise null-poison every centroid tail via try_element_at, null
+    // every assignment score, and silently collapse ALL rows into cell -1 —
+    // an all-pairs scan masquerading as IVF
+    val dims0 = resolveDims(corpus, 0)
+    require(
+      dims <= 0 || dims == dims0,
+      s"ivfTopK dims=$dims does not match the corpus embedding width $dims0"
+    )
     val seeded = corpus.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(nCells.toLong)).cast("int"))
-    // LAZY localCheckpoint each round's centroid row (ONE tiny row): the
-    // checkpoint still cuts lineage so no later plan re-executes previous
-    // Lloyd passes (each round's RDD materializes exactly once, on first
-    // use), but laziness folds the whole ladder into the FINAL query's
-    // execution instead of one eager driver-blocking job per round —
-    // lloydIters fewer action round-trips, cold planning included
-    var cRow = centroidRow(seeded, dims0).localCheckpoint(eager = false)
+    // EAGER localCheckpoint each round's centroid row (ONE tiny row):
+    // without it every later plan re-executes the whole chain of previous
+    // Lloyd passes — and cRow is only ever consumed via broadcast(), so a
+    // lazy checkpoint would nest each round's FULL-CORPUS aggregation
+    // inside the next round's BroadcastExchange future, putting the whole
+    // Lloyd ladder under one spark.sql.broadcastTimeout at scale (tried in
+    // round 8, reverted: the bench gain was noise, the timeout exposure
+    // real)
+    var cRow = centroidRow(seeded, dims0).localCheckpoint()
     var it = 0
     while (it < lloydIters) {
       val assigned = corpus
         .crossJoin(broadcast(cRow))
         .withColumn("cell", assignCell(col("cells"), col("embedding")))
         .select("vec_id", "embedding", "cell")
-      cRow = centroidRow(assigned, dims0).localCheckpoint(eager = false)
+      cRow = centroidRow(assigned, dims0).localCheckpoint()
       it += 1
     }
 

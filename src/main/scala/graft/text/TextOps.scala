@@ -326,7 +326,12 @@ object TextOps {
         .select(col("id"), least(col("id"), col("_m")).as("label"))
       jump(l1).localCheckpoint()
     }
-    var converged = false
+    // an EMPTY edge set is already converged (labels is empty): without
+    // this one cheap head(1) probe on the cached frame, maxIter = 1 would
+    // throw "did not converge" on trivially-converged empty input (the
+    // fused round 1 skips its convergence count, so the loop below is the
+    // first check and it never runs when maxIter = 1)
+    var converged = labels.isEmpty
     var i = 1 // round 1 ran fused above
     while (!converged && i < maxIter) {
       // a SECOND jump per round at bounded plan cost: labels is a
@@ -344,20 +349,13 @@ object TextOps {
       // propagation + pointer jump + the change flag, all inside ONE
       // checkpointed plan per round (formerly: persist propagated → count
       // changed → jump → checkpoint = two full action chains per round; the
-      // loop's cost at bench scale was almost entirely this job count).
-      // `propagated` appears on both sides of the jump self-join, but its
-      // heavy parts (the propagation join + aggregate over all edges) are
-      // identical subtrees whose exchanges ReuseExchange computes once —
-      // the same reuse the former persist() bought, without the extra
-      // action. Applying the jump unconditionally is sound: at the
-      // propagation fixpoint labels are component-constant and label(label)
-      // is the identity, so the converged round's labels are unchanged.
+      // loop's bench-scale cost was almost entirely that job count).
+      // Applying the jump unconditionally is sound: at the propagation
+      // fixpoint labels are component-constant and label(label) is the
+      // identity, so the converged round's labels are unchanged.
       // _chg records whether PROPAGATION (not the jump) changed the label —
-      // the same early-exit frontier the former separate count used, now
-      // computed INSIDE the round's single checkpointed plan (formerly:
-      // persist propagated → count changed → jump → checkpoint = two full
-      // action chains per round; the loop's bench-scale cost was almost
-      // entirely that job count). The persist() guarantees the propagation
+      // the same early-exit frontier the former separate count used.
+      // The persist() guarantees the propagation
       // join runs ONCE per round even though the jump references it twice
       // (per-partition cache locking blocks racing readers on the single
       // computation) — unpersisted right after the checkpoint materializes.

@@ -362,6 +362,16 @@ class OpsSpec extends SparkTestBase {
     assert(groups.filter(_._2._2).keySet == Set(1L, 10L, 20L), "keep = component min")
   }
 
+  test("dedupGroups: EMPTY pair set returns empty even at maxIter = 1") {
+    // round-8 regression pin: the fused round 1 skips its convergence
+    // count, so without the explicit empty-labels probe a trivially
+    // converged empty input threw "did not converge in 1 rounds"
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TextOps.dedupGroups(empty, maxIter = 1).collect().isEmpty)
+  }
+
   test("dedupGroups: 60-node CHAIN converges within default rounds (pointer jumping)") {
     val s = spark
     import s.implicits._
